@@ -1,0 +1,59 @@
+package graft.index
+
+/** Typed data model of the index (SURVEY.md §1.4, FIXTURES.md §3).
+  * Everything is a case class → Product encoder → columnar parquet at rest,
+  * typed rows in flight.
+  */
+
+/** The input_hint corpus shape (BASELINE.json:15). */
+final case class CorpusDoc(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Per-document metadata. `docId` is data-derived (dense rank over the
+  * unique sort key (repo, path, commit)) — never partition-derived — so it
+  * is identical at any parallelism level (SURVEY.md §7.4 item 1; the
+  * reference's analog is the data-derived PagingToken,
+  * es/paging_token.go:10-30).
+  * `sha256` is the per-row ingest invariant (BASELINE.json:15).
+  */
+final case class DocMeta(docId: Long, repo: String, path: String, commit: String,
+                         lang: String, dl: Int, sha256: String)
+
+/** One (term, doc) occurrence with its in-doc frequency and the doc length.
+  * `salt` is the docId-range bucket: hot-term skew handling — a single
+  * Zipfian term's postings split across `S` contiguous docId ranges, so no
+  * reducer ever owns a whole hot list (north rule / SURVEY.md §7.4 item 3).
+  */
+final case class TermDoc(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
+
+/** One compressed posting block: ≤ Codec.BlockSize postings of one
+  * (term, salt), docIds delta+varint encoded against `firstDocId`, tf and dl
+  * as varint arrays. `maxImpact` = max over the block of the
+  * length-normalized tf part of BM25 (see Bm25.impact) — the block-max
+  * metadata WAND prunes with. Blocks carry absolute `firstDocId`, so
+  * salted partials merge by concatenation, no re-encode.
+  * Analog of Lucene's block postings + index-time sort the reference relies
+  * on (es/indices.go:26-27 `sort.field: paging_token`).
+  */
+final case class PostingBlock(term: String, salt: Int, blockIdx: Int,
+                              firstDocId: Long, lastDocId: Long, n: Int,
+                              docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+                              maxImpact: Double)
+
+/** Global term statistics, broadcast at query time. */
+final case class TermStat(term: String, df: Long, maxImpact: Double)
+
+/** Corpus-level stats (broadcast). */
+final case class IndexStats(n: Long, avgdl: Double, totalTokens: Long)
+
+/** Per-partition lineage row, written atomically with each stage's data —
+  * the resume + reconciliation record (north rule; reference analogs:
+  * commands/stats.go range reconciliation, db/ledger_header_row.go:111-126
+  * gap window). `contentHash` is an order-independent XOR of per-row 64-bit
+  * hashes, so it can be recomputed and compared regardless of row order.
+  */
+final case class LineageRow(stage: String, partitionId: Int,
+                            docIdMin: Long, docIdMax: Long,
+                            termCount: Long, rows: Long, bytes: Long, contentHash: Long)
+
+/** A scored search hit. */
+final case class Hit(docId: Long, score: Double)
