@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analyze.Analyzer
+import graft.corpus.Corpus
+import graft.index.{Hit, IndexBuilder}
+import graft.query.{Oracle, Searcher}
+
+/** The rank-identity gate (FIXTURES.md §4, north rule): block-max WAND
+  * top-k over the compressed index must equal the naive BM25 oracle exactly
+  * — (docId, score) lists, score desc / docId asc — at a k small enough
+  * that pruning actually fires, on a corpus with hot Zipfian terms.
+  */
+class EngineSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val corpus = Corpus.synth(spark, 2000, seed = 42L).cache()
+  private lazy val handle = IndexBuilder.build(spark, corpus, tmpDir("graft-idx"),
+    IndexBuilder.Config(salts = 4, mode = Analyzer.Code))
+
+  // FIXTURES.md §4 query set (q6 trigram mode handled separately)
+  private val querySet = Seq(
+    "sparkSession", // q1 single term
+    "read parquet", // q2 two-term
+    "foo_bar baz qux quux", // q3 multi-term, WAND pruning
+    "the import def", // q4 hot terms (skew path)
+    "zzz_rare_token", // q5 tail term
+    "postingList delta_encode the", // q7 mixed hot+cold
+    "catalystRule", "shuffle write buffer", "segment merge lineage", // q8-q10
+  )
+
+  private def assertRankIdentical(got: Array[Hit], want: Array[Hit], q: String): Unit = {
+    assert(got.length == want.length, s"[$q] size: got ${got.length} want ${want.length}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.docId == w.docId, s"[$q] rank $i docId: got $g want $w")
+      assert(g.score == w.score, s"[$q] rank $i score bits: got $g want $w")
+    }
+  }
+
+  test("WAND top-10 rank-identical to naive oracle on the full query set") {
+    for (q <- querySet) {
+      val got = Searcher.topK(spark, handle, q, 10).collect()
+      val want = Oracle.topK(spark, corpus, q, 10, Analyzer.Code).collect()
+      assertRankIdentical(got, want, q)
+      assert(got.nonEmpty || Analyzer.tokens(q, Analyzer.Code).forall(_ => true))
+    }
+  }
+
+  test("conjunctive (AND) intersection rank-identical to oracle") {
+    for (q <- Seq("read parquet", "the import", "sparkSession dataFrame")) {
+      val got = Searcher.topK(spark, handle, q, 10, conjunctive = true).collect()
+      val want = Oracle.topK(spark, corpus, q, 10, Analyzer.Code, conjunctive = true).collect()
+      assertRankIdentical(got, want, s"AND:$q")
+    }
+  }
+
+  test("exhaustive mode (k=∞) matches oracle membership and order") {
+    val got = Searcher.topK(spark, handle, "varint checkpointDir", Int.MaxValue).collect()
+    val want = Oracle.topK(spark, corpus, "varint checkpointDir", Int.MaxValue, Analyzer.Code).collect()
+    assertRankIdentical(got, want, "exhaustive")
+    assert(got.length > 10)
+  }
+
+  test("unknown term → empty result, no crash") {
+    assert(Searcher.topK(spark, handle, "qqqqnotaterm", 10).collect().isEmpty)
+    assert(Searcher.topK(spark, handle, "", 10).collect().isEmpty)
+  }
+
+  test("index invariants: block-max dominates members; blocks sorted; df consistent") {
+    import spark.implicits._
+    val st = handle.stats(spark)
+    val blocks = handle.postings(spark).collect()
+    assert(blocks.nonEmpty)
+    for (b <- blocks) {
+      val docs = graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
+      val tfs = graft.index.Codec.decodeInts(b.tfs, b.n)
+      val dls = graft.index.Codec.decodeInts(b.dls, b.n)
+      assert(docs.toSeq == docs.sorted.toSeq && docs.distinct.length == docs.length)
+      assert(docs.head == b.firstDocId && docs.last == b.lastDocId)
+      val maxImp = tfs.zip(dls).map { case (tf, dl) =>
+        graft.query.Bm25.impact(tf, dl, st.avgdl)
+      }.max
+      assert(maxImp == b.maxImpact, s"block-max mismatch for ${b.term}/${b.salt}/${b.blockIdx}")
+    }
+    // df = Σ block n per term must equal distinct docs per term
+    val dfFromBlocks = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.map(_.n.toLong).sum }
+    val ts = handle.termstats(spark).collect().map(t => t.term -> t.df).toMap
+    assert(dfFromBlocks == ts)
+  }
+
+  test("hot terms are salted across multiple docId ranges") {
+    import spark.implicits._
+    val saltsPerHotTerm = handle.postings(spark)
+      .filter($"term" === "the")
+      .select($"salt").distinct().count()
+    assert(saltsPerHotTerm == 4, s"hot term should span all 4 salt ranges, got $saltsPerHotTerm")
+  }
+
+  test("sha256 ingest invariant: docmeta hashes equal recomputed content hashes") {
+    import spark.implicits._
+    val dm = handle.docmeta(spark)
+    val bad = dm.toDF().alias("m").join(corpus.toDF().alias("c"),
+        $"m.repo" === $"c.repo" && $"m.path" === $"c.path")
+      .filter($"m.sha256" =!= org.apache.spark.sql.functions.sha2($"c.content", 256))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("docIds dense, unique, zero-based") {
+    import spark.implicits._
+    val ids = handle.docmeta(spark).map(_.docId).collect().sorted
+    assert(ids.toSeq == (0L until ids.length.toLong))
+  }
+}
