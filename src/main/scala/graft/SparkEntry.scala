@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.query.Searcher
+import graft.query.{Aggs, Searcher}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every `queries` entry runs the engine on `sfDir`'s parquet tables; the
   * matching `oracleSql` entry is ANSI SQL DuckDB runs on the same tables.
   * Column names and ordering are aligned pairwise; float outputs are
-  * quantized (see Engine.quantized) so cross-engine hashing is stable.
+  * quantized (see Engine.quantized — identical float ops both sides) so
+  * cross-engine hashing is stable. Entries without oracleSql (approximate /
+  * not SQL-expressible ops) get the driver's rows-only check and are
+  * asserted against exact ground truth in ScalaTest instead.
   */
 object SparkEntry {
 
@@ -31,6 +35,32 @@ object SparkEntry {
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
       |  FROM documents
       |), t2 AS (SELECT doc_id, term FROM toks WHERE term <> '')""".stripMargin
+
+  /** Word 3-gram shingles (Dedup.shingles transliterated). */
+  private val shinglesCte =
+    """pos AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w,
+      |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+      |  FROM documents
+      |), posnz AS (SELECT * FROM pos WHERE w <> ''),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      |  FROM posnz a
+      |  JOIN posnz b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN posnz c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+      |)""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $shinglesCte,
+       |sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(floor(i / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT) AS jacc_q
+       |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+       |WHERE i / (sa.n + sb.n - i) >= 0.6
+       |ORDER BY a, b""".stripMargin
 
   /** Full BM25 pipeline over `documents` (Bm25.scala transliterated). */
   private def bm25Sql(terms: Seq[String], conjunctive: Boolean): String = {
@@ -54,6 +84,8 @@ object SparkEntry {
        |FROM scores ORDER BY score_q DESC, doc_id""".stripMargin
   }
 
+  private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
+
   // ---- engine-side query helpers ------------------------------------------
 
   private def bm25(spark: SparkSession, sfDir: String, q: String,
@@ -69,13 +101,10 @@ object SparkEntry {
   // ---- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // F10: full-text BM25 relevance, single term (postman "Filter … By Term" analog)
+    // === full-text core (SURVEY §2 F10/F11/F1) ===
     "ft_bm25_single" -> ((s, dir) => bm25(s, dir, "spark")),
-    // F10: multi-term disjunctive BM25 (Lucene `match` OR semantics)
     "ft_bm25_multi" -> ((s, dir) => bm25(s, dir, "spark merge window")),
-    // F11: boolean conjunction (bool.must) with BM25 ranking
     "ft_bm25_and" -> ((s, dir) => bm25(s, dir, "join filter", conjunctive = true)),
-    // F1/F11: exact term lookup → posting-list docIds
     "ft_term_lookup" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
       val dm = h.docmeta(s).toDF()
@@ -84,7 +113,6 @@ object SparkEntry {
           element_at(split(col("path"), "/"), 2).cast("long").as("doc_id")), "docId")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
-    // docmeta invariants: N docs, token counts, sha256 ingest invariant
     "ft_docmeta" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
       h.docmeta(s).toDF()
@@ -92,15 +120,55 @@ object SparkEntry {
           col("dl").cast("long").as("dl"), col("sha256"))
         .orderBy(col("doc_id"))
     },
-    // termstats: df per term (the broadcast side of every query)
     "ft_termstats" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
-      h.termstats(s).toDF().select(col("term"), col("df"))
-        .orderBy(col("term"))
+      h.termstats(s).toDF().select(col("term"), col("df")).orderBy(col("term"))
     },
+
+    // === analytical surface (SURVEY §2 E/F) ===
+    "agg_date_histogram" -> ((s, d) => Aggs.dateHistogram(s, d)),
+    "agg_sum_by_day" -> ((s, d) => Aggs.sumByDay(s, d)),
+    "agg_exists_filter" -> ((s, d) => Aggs.existsFilter(s, d)),
+    "agg_sig_terms" -> ((s, d) => Aggs.significantTerms(s, d)),
+    "agg_terms_top10" -> ((s, d) => Aggs.termsTop10(s, d)),
+    "agg_must_filter" -> ((s, d) => Aggs.mustFilter(s, d)),
+    "agg_hourly_avg" -> ((s, d) => Aggs.hourlyAvg(s, d)),
+    "agg_top10_values" -> ((s, d) => Aggs.top10Values(s, d)),
+    "agg_stats" -> ((s, d) => Aggs.statsAgg(s, d)),
+    "agg_range" -> ((s, d) => Aggs.rangeAgg(s, d)),
+    "agg_count_range" -> ((s, d) => Aggs.countRange(s, d)),
+    "agg_first_last" -> ((s, d) => Aggs.firstLast(s, d)),
+    "win_gap_detect" -> ((s, d) => Aggs.gapDetect(s, d)),
+    "agg_range_reconcile" -> ((s, d) => Aggs.rangeReconcile(s, d)),
+    "join_revenue" -> ((s, d) => Aggs.joinRevenue(s, d)),
+    "join_semi" -> ((s, d) => Aggs.semiJoin(s, d)),
+    "gen_explode_tokens" -> ((s, d) => Aggs.explodeTokens(s, d)),
+    "win_lag_diff" -> ((s, d) => Aggs.lagDiff(s, d)),
+    "page_cursor" -> ((s, d) => Aggs.pageAfterCursor(s, d)),
+    "fn_enum_prettify" -> ((s, d) => Aggs.enumPrettify(s, d)),
+    "fn_bitmask_flags" -> ((s, d) => Aggs.bitmaskFlags(s, d)),
+    "fn_composite_token" -> ((s, d) => Aggs.compositeToken(s, d)),
+    "fn_memo_normalize" -> ((s, d) => Aggs.memoNormalize(s, d)),
+
+    // === training-data pipeline ops ===
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
+    "text_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "text_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "mm_meta" -> ((s, d) => Multimodal.metaColumns(s, d)),
+    "mm_extract" -> ((s, d) => Multimodal.extractMeta(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // === full-text ===
     "ft_bm25_single" -> bm25Sql(Seq("spark"), conjunctive = false),
     "ft_bm25_multi" -> bm25Sql(Seq("merge", "spark", "window"), conjunctive = false),
     "ft_bm25_and" -> bm25Sql(Seq("filter", "join"), conjunctive = true),
@@ -115,5 +183,193 @@ object SparkEntry {
     "ft_termstats" ->
       s"""WITH $toksCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term ORDER BY term""".stripMargin,
+
+    // === analytical surface ===
+    "agg_date_histogram" ->
+      """SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+        |       count(*) AS n, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin,
+    "agg_sum_by_day" ->
+      s"""SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+         |       ${q4("sum(o_totalprice)")} AS total_q, count(*) AS n
+         |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
+    "agg_exists_filter" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events
+        |WHERE props IS NOT NULL AND event_type = 'click'
+        |  AND json_extract_string(props, '$.k')::BIGINT > 80
+        |ORDER BY event_id""".stripMargin,
+    "agg_sig_terms" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT DISTINCT t.doc_id, d.lang, t.term
+         |       FROM t2 t JOIN documents d ON t.doc_id = d.doc_id),
+         |fgt AS (SELECT count(*)::DOUBLE AS v FROM documents WHERE lang = 'en'),
+         |bgt AS (SELECT count(*)::DOUBLE AS v FROM documents),
+         |fg AS (SELECT term, count(*)::DOUBLE AS fg FROM dt WHERE lang = 'en' GROUP BY 1),
+         |bg AS (SELECT term, count(*)::DOUBLE AS bg FROM dt GROUP BY 1),
+         |j AS (SELECT fg.term,
+         |             (fg.fg / (SELECT v FROM fgt) - bg.bg / (SELECT v FROM bgt))
+         |             * ((fg.fg / (SELECT v FROM fgt)) / (bg.bg / (SELECT v FROM bgt))) AS jlh
+         |      FROM fg JOIN bg USING (term))
+         |SELECT term, ${q4("jlh * 1000")} AS jlh_q
+         |FROM j ORDER BY jlh_q DESC, term LIMIT 10""".stripMargin,
+    "agg_terms_top10" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
+    "agg_must_filter" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_hourly_avg" ->
+      s"""SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         |       ${q4("avg(value)")} AS avg_q, count(*) AS n
+         |FROM events WHERE user_id < 10
+         |GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
+    "agg_top10_values" ->
+      s"""SELECT event_id, ${q4("value")} AS value_q FROM events
+         |ORDER BY value_q DESC, event_id LIMIT 10""".stripMargin,
+    "agg_stats" ->
+      s"""SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
+         |       CAST(max(l_quantity) AS BIGINT) AS max_q,
+         |       count(*) AS n,
+         |       ${q4("sum(l_quantity)")} AS sum_q,
+         |       ${q4("avg(l_quantity)")} AS avg_q
+         |FROM lineitem""".stripMargin,
+    "agg_range" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_count_range" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000",
+    "agg_first_last" ->
+      "SELECT min(o_orderkey) AS first_key, max(o_orderkey) AS last_key FROM orders",
+    "win_gap_detect" ->
+      """WITH ks AS (SELECT DISTINCT l_orderkey AS seq FROM lineitem),
+        |w AS (SELECT seq, lead(seq) OVER (ORDER BY seq) AS nxt FROM ks)
+        |SELECT seq + 1 AS gap_start, nxt - 1 AS gap_end
+        |FROM w WHERE nxt IS NOT NULL AND nxt <> seq + 1 ORDER BY gap_start""".stripMargin,
+    "agg_range_reconcile" ->
+      """SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "join_revenue" ->
+      s"""SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+         |       ${q4("sum(l_extendedprice * (1 - l_discount))")} AS rev_q
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "join_semi" ->
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "gen_explode_tokens" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, pos::BIGINT AS pos, term FROM p WHERE term <> ''
+        |ORDER BY doc_id, pos""".stripMargin,
+    "win_lag_diff" ->
+      s"""WITH w AS (
+         |  SELECT event_id, value,
+         |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events)
+         |SELECT event_id, ${q4("value - prev")} AS diff_q
+         |FROM w WHERE prev IS NOT NULL AND ${q4("value - prev")} <> 0
+         |ORDER BY event_id""".stripMargin,
+    "page_cursor" ->
+      """SELECT event_id, event_type FROM events WHERE event_id > 500
+        |ORDER BY event_id LIMIT 20""".stripMargin,
+    "fn_enum_prettify" ->
+      """SELECT regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+    "fn_bitmask_flags" ->
+      """SELECT event_id & 3 AS flags, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY flags""".stripMargin,
+    "fn_composite_token" ->
+      """SELECT printf('%012d-%04d', l_orderkey, l_linenumber) AS token
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY token""".stripMargin,
+    "fn_memo_normalize" ->
+      """SELECT doc_id,
+        |       CASE WHEN n_chars % 3 = 0 THEN printf('id:%d', doc_id)
+        |            WHEN n_chars % 3 = 1 THEN to_base64(encode(substr(text, 1, 9)))
+        |            ELSE NULL END AS memo_value
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // === training-data ops ===
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "dedup_jaccard" -> jaccardSql,
+    // dedup_minhash_lsh: LSH candidates exactly verified → equals the exact
+    // pair set when recall = 1 on this (deterministic) data; asserted in
+    // OpsSpec locally, then safe to oracle-check with the exact SQL.
+    "dedup_minhash_lsh" -> jaccardSql,
+    "ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |s AS (
+        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
+        |         (SELECT sum(v * v) FROM q) AS nq
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_cosine_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+        |  FROM e x JOIN e y ON x.i = y.i AND x.vec_id < y.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(floor(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM d JOIN n na ON d.a = na.vec_id JOIN n nb ON d.b = nb.vec_id
+        |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45
+        |ORDER BY a, b""".stripMargin,
+    "text_langid" ->
+      s"""WITH $toksCte,
+         |r AS (
+         |  SELECT doc_id, count(*)::DOUBLE AS n,
+         |         sum(CASE WHEN term IN ('the','a','of','to','and','in','is') THEN 1 ELSE 0 END)::DOUBLE AS m
+         |  FROM t2 GROUP BY 1)
+         |SELECT doc_id, ${q4("m / n")} AS ratio_q,
+         |       CASE WHEN m / n > 0.02 THEN 'en' ELSE 'other' END AS pred_lang
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH $toksCte,
+         |tok AS (
+         |  SELECT doc_id, count(*)::DOUBLE AS ntok, avg(length(term)::DOUBLE) AS wlen,
+         |         sum(CASE WHEN term IN ('the','a','of','to','and') THEN 1 ELSE 0 END)::DOUBLE AS nstop
+         |  FROM t2 GROUP BY 1),
+         |base AS (
+         |  SELECT doc_id,
+         |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio
+         |  FROM documents)
+         |SELECT b.doc_id AS doc_id, CAST(t.ntok AS BIGINT) AS ntok,
+         |       ${q4("t.wlen")} AS wlen_q,
+         |       ${q4("t.nstop / t.ntok")} AS stop_q,
+         |       ${q4("b.punct_ratio")} AS punct_q,
+         |       ${q4("least(t.ntok / 100.0, 1.0) * 0.5 + (1.0 - b.punct_ratio) * 0.3 + (t.nstop / t.ntok) * 0.2")} AS quality_q
+         |FROM base b JOIN tok t ON b.doc_id = t.doc_id ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+        |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT DISTINCT doc_id, term FROM t2)
+         |SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fp
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+        |       (16 + octet_length(encode(text)) % 640)::BIGINT AS width,
+        |       (16 + octet_length(encode(text)) % 480)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // dedup_simhash, ann_lsh_topk, ann_centroid_assign, mm_extract:
+    // approximate / not SQL-expressible — rows-only check; exact ground
+    // truth asserted in OpsSpec.
   )
 }

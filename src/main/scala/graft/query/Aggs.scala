@@ -1,0 +1,230 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Engine.quantized
+
+/** The analytical query surface (SURVEY.md §2 E/F + selected B/C/D
+  * operators): every behavior the reference's Go client pushes to ES,
+  * re-expressed as declarative DataFrame plans so Catalyst handles
+  * pushdown/pruning/join strategy. Each function has a DuckDB oracle in
+  * SparkEntry.oracleSql.
+  */
+object Aggs {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** F2: date_histogram(day) + min/max sub-aggs over lineitem. */
+  def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(date_format(date_trunc("day", col("l_shipdate")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("day"))
+
+  /** F3: date_histogram(day) + sum over orders. */
+  def sumByDay(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")), "yyyy-MM-dd").as("day"))
+      .agg(quantized(sum(col("o_totalprice"))).as("total_q"), count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  /** F4: exists + term filter (bool.must analog) with JSON field access
+    * (the reference's memo.value exists-check, postman :119-138).
+    */
+  def existsFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("props").isNotNull && col("event_type") === "click" &&
+        get_json_object(col("props"), "$.k").cast("long") > 80)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** F5: significant_terms (JLH score) — foreground = lang 'en' docs,
+    * background = all docs; two groupBy passes + join, no custom agg
+    * (SURVEY.md §2 F5: no built-in, two-pass job).
+    */
+  def significantTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("lang"), col("term")).distinct()
+    val fgTotal = docs.filter(col("lang") === "en").count().toDouble
+    val bgTotal = docs.count().toDouble
+    val fg = toks.filter(col("lang") === "en").groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("fg"))
+    val bg = toks.groupBy(col("term")).agg(count(lit(1)).cast("double").as("bg"))
+    fg.join(bg, "term")
+      .withColumn("fgp", col("fg") / lit(fgTotal))
+      .withColumn("bgp", col("bg") / lit(bgTotal))
+      .withColumn("jlh", (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
+      .select(col("term"), quantized(col("jlh") * 1000).as("jlh_q"))
+      .orderBy(desc("jlh_q"), col("term"))
+      .limit(10)
+  }
+
+  /** F6: terms agg — top-10 buckets by doc count. */
+  def termsTop10(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type"))
+      .limit(10)
+
+  /** F7: bool.must[term, exists] two-predicate filter. */
+  def mustFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "A" && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** F8: term filter + date_histogram(hour) + avg — per-user hourly. */
+  def hourlyAvg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
+      .agg(quantized(avg(col("value"))).as("avg_q"), count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+
+  /** F9: global top-10 by value desc — TakeOrderedAndProject path. */
+  def top10Values(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"), quantized(col("value")).as("value_q"))
+      .orderBy(desc("value_q"), col("event_id"))
+      .limit(10)
+
+  /** E1: one-pass stats agg (min/max/count/sum/avg). */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(min(col("l_quantity")).cast("long").as("min_q"),
+        max(col("l_quantity")).cast("long").as("max_q"),
+        count(lit(1)).as("n"),
+        quantized(sum(col("l_quantity"))).as("sum_q"),
+        quantized(avg(col("l_quantity"))).as("avg_q"))
+
+  /** E2: range agg — counts per explicit bucket. */
+  def rangeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** E3/A4: count with range predicate — pushed to the parquet scan. */
+  def countRange(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").between(1000, 2000))
+      .agg(count(lit(1)).as("n"))
+
+  /** A2: first/last row (min/max of the ordering key). */
+  def firstLast(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .agg(min(col("o_orderkey")).as("first_key"), max(col("o_orderkey")).as("last_key"))
+
+  /** D6: gap detection via lead window over the distinct key sequence —
+    * transliterated from the reference's SQL (db/ledger_header_row.go:111-126).
+    */
+  def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = t(spark, sfDir, "lineitem").select(col("l_orderkey").as("seq")).distinct()
+    val w = Window.orderBy(col("seq"))
+    keys.withColumn("nxt", lead(col("seq"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("seq") + 1)
+      .select((col("seq") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+      .orderBy(col("gap_start"))
+  }
+
+  /** D7: range reconciliation — counts per fixed-step key bucket
+    * (commands/es-stats.go:42-57, step analog).
+    */
+  def rangeReconcile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(floor(col("doc_id") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** C1: parent⋈child join + enrich + aggregate (ledger⋈tx analog).
+    * Join key is equi — Catalyst broadcast/shuffle-hash per AQE stats.
+    */
+  def joinRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem").join(t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")), "yyyy-MM-dd").as("day"))
+      .agg(quantized(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_q"))
+      .orderBy(col("day"))
+
+  /** A6: IN-list semi-join reduction. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    t(spark, sfDir, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** C3: posexplode fan-out (tx→op analog) — token + 1-based position. */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("term"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** C6: stateful diff-vs-previous with zero-diff suppression
+    * (balance_extractor analog: window lag + filter diff ≠ 0).
+    */
+  def lagDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("diff_q", quantized(col("value") - col("prev")))
+      .filter(col("diff_q") =!= 0)
+      .select(col("event_id"), col("diff_q"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D5: key-set pagination (paging_token cursor analog). */
+  def pageAfterCursor(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("event_id") > 500)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .limit(20)
+
+  /** B6: enum prettify via regexp_replace. */
+  def enumPrettify(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority"))
+
+  /** B7: bitmask → flags (account_flags analog). */
+  def bitmaskFlags(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_id").bitwiseAND(lit(3L)).as("flags"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("flags"))
+
+  /** B10: composite zero-padded ordinal key (paging_token format,
+    * es/paging_token.go:25-30).
+    */
+  def compositeToken(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") < 50)
+      .select(format_string("%012d-%04d", col("l_orderkey"), col("l_linenumber")).as("token"))
+      .orderBy(col("token"))
+
+  /** B2: memo-normalization analog — type-switched when-chain with
+    * format/base64 branches (db/tx_history_row.go:36-67).
+    */
+  def memoNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("n_chars") % 3 === 0, format_string("id:%d", col("doc_id")))
+          .when(col("n_chars") % 3 === 1, base64(substring(col("text"), 1, 9).cast("binary")))
+          .otherwise(lit(null)).as("memo_value"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Ground-truth checks for the approximate / non-SQL-expressible ops that
+  * have no DuckDB oracle (rows-only in the driver): LSH recall vs brute
+  * force, SimHash correctness vs exhaustive hamming, centroid argmax,
+  * multimodal stub consistency.
+  */
+class OpsSpec extends AnyFunSuite with SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH pairs == exact jaccard pairs on test corpus (recall 1)") {
+    val exact = Dedup.jaccardPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+  }
+
+  test("simhash pairs equal exhaustive hamming-distance pairs (band recall is exact ≤3 by pigeonhole)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)].collect()
+    val sigs = docs.map { case (id, t) =>
+      (id, Dedup.simhash64(t.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)))
+    }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("LSH top-k is a subset of brute-force ranking with recall ≥ 0.5") {
+    val brute = Similarity.cosineTopK(spark, sfDir, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Similarity.lshTopK(spark, sfDir, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bruteMap = brute.toMap
+    // every LSH hit must carry the exact brute-force score (exact re-score)
+    lsh.foreach { case (id, cq) => assert(bruteMap.get(id).forall(_ == cq) ||
+      !bruteMap.contains(id), s"score mismatch for $id") }
+    val recall = lsh.map(_._1).count(brute.map(_._1).toSet) / brute.length.toDouble
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("centroid assignment is the true argmax for a sample of vectors") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+    val centroids = e.groupBy(_._3).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val acc = new Array[Double](dim)
+      vs.foreach { case (_, v, _) => for (i <- 0 until dim) acc(i) += v(i) }
+      (l, acc.map(_ / vs.length))
+    }.toArray.sortBy(_._1)
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nc = 0.0
+      for (i <- v.indices) { dot += v(i) * c(i); na += v(i).toDouble * v(i); nc += c(i) * c(i) }
+      dot / (math.sqrt(na) * math.sqrt(nc))
+    }
+    val got = Similarity.centroidAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    e.take(50).foreach { case (id, v, _) =>
+      val want = centroids.maxBy { case (_, c) => cos(v, c) }._1
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+  }
+
+  test("multimodal extract consistent with column-only metadata + deterministic") {
+    val meta = Multimodal.metaColumns(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ext = Multimodal.extractMeta(spark, sfDir).collect()
+    assert(ext.nonEmpty)
+    ext.foreach { r =>
+      val (bl, w, hgt) = meta(r.getLong(0))
+      assert(r.getLong(1) == bl && r.getInt(2) == w && r.getInt(3) == hgt)
+    }
+    val again = Multimodal.extractMeta(spark, sfDir).collect()
+    assert(ext.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
