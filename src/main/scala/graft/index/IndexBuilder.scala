@@ -65,17 +65,45 @@ object IndexBuilder {
     }
   }
 
-  /** Deterministic docId assignment: dense rank over the unique sort key.
-    * Two jobs sharing one shuffle (zipWithIndex = count pass + index pass on
-    * the same RDD, shuffle files reused). RDD is justified here: Spark has
-    * no global-rank primitive that avoids a single-partition window.
+  /** Id-assigned corpus plus a cache-release callback (the range-sorted
+    * dataset is persisted so the count pass and every consumer share one
+    * shuffle+sort).
     */
-  def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int): Dataset[(Long, CorpusDoc)] = {
+  final case class Assigned(ds: Dataset[(Long, CorpusDoc)], release: () => Unit)
+
+  /** Deterministic docId assignment: dense rank over the unique sort key —
+    * the standard two-pass scalable pattern (range-sort, count per
+    * partition, cumulative offsets, per-partition index). All Dataset ops
+    * (Tungsten columnar cache, whole-stage codegen); no single-partition
+    * window, no RDD object round-trip. The cached sorted plan pins the
+    * range boundaries, so both passes (and any cache-eviction recompute,
+    * which replays the same RDD graph + partitioner) see identical
+    * partitioning — ids are a pure function of the data (§7.4 item 1).
+    */
+  def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int): Assigned = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(partitions, $"repo", $"path", $"commit")
       .sortWithinPartitions($"repo", $"path", $"commit")
-    sorted.rdd.zipWithIndex().map { case (d, i) => (i, d) }.toDS()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = new Array[Long](math.max(partitions, maxPid))
+    var acc = 0L
+    var p = 0
+    while (p < offsets.length) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+      p += 1
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val ds = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = bOff.value(pid)
+      it.map { d => val r = (i, d); i += 1; r }
+    }
+    Assigned(ds, () => { sorted.unpersist(blocking = false); () })
   }
 
   private def hashRow(parts: Any*): Long =
@@ -85,6 +113,16 @@ object IndexBuilder {
     * lineage validates are skipped; otherwise recomputed and atomically
     * replaced (parquet overwrite = write-then-swap per directory).
     */
+  /** Stage timing to stderr when GRAFT_TIMING=1 (perf triage aid). */
+  private def timedStage[T](name: String)(f: => T): T = {
+    if (sys.env.get("GRAFT_TIMING").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[graft-timing] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    } else f
+  }
+
   def build(spark: SparkSession, corpus: Dataset[CorpusDoc], dir: String,
             cfg: Config = Config()): Handle = {
     import spark.implicits._
@@ -94,34 +132,49 @@ object IndexBuilder {
     val fs = new java.io.File(dir)
     fs.mkdirs()
 
+    // docmeta and postings both need the id-assigned corpus; share one
+    // materialization (the sorted-cache inside assignDocIds) instead of
+    // re-running the range-sort shuffle per stage. At extreme scale the
+    // same role is played by a transient sorted table.
+    var sharedIds: Assigned = null
+    def withIds(): Dataset[(Long, CorpusDoc)] = {
+      if (sharedIds == null) sharedIds = assignDocIds(spark, corpus, parts)
+      sharedIds.ds
+    }
+
     // ---- stage 1: docmeta -------------------------------------------------
+    // Lineage is tallied by an accumulator inside the SAME job that writes
+    // the table (one pass, no read-back job). For docmeta, lineage.termCount
+    // carries Σdl per partition, which lets stage 2 derive (N, avgdl) with
+    // zero additional scans.
     val docmetaDone = stageComplete(spark, dir, "docmeta")
-    if (!docmetaDone) {
-      val withIds = assignDocIds(spark, corpus, parts)
-      val meta = withIds.map { case (id, d) =>
+    if (!docmetaDone) timedStage("docmeta") {
+      val acc = newLineageAcc(spark, "docmeta")
+      val meta = withIds().map { case (id, d) =>
         val (_, dl) = Analyzer.termFreqs(d.content, mode)
         DocMeta(id, d.repo, d.path, d.commit, d.lang,
           dl, sha256Hex(d.content))
       }
-      meta.write.mode("overwrite").parquet(s"$dir/docmeta")
-      writeLineage(spark, dir, "docmeta",
-        spark.read.parquet(s"$dir/docmeta")
-          .select($"docId", $"docId".as("docIdMax"), lit(1L).as("terms"),
-            xxhash64($"docId", $"commit", $"sha256").as("h"), lit(8L).as("bytes")))
+      val instrumented = meta.mapPartitions(tally(acc, "docmeta")(
+        m => m.docId, m => m.docId, m => m.dl.toLong,
+        m => 48L + m.repo.length + m.path.length,
+        m => mix3(m.docId, java.lang.Long.parseLong(m.sha256.substring(0, 15), 16),
+          m.commit.hashCode.toLong)))
+      instrumented.write.mode("overwrite").parquet(s"$dir/docmeta")
+      writeLineageRows(spark, dir, "docmeta", acc.value)
     }
 
-    // ---- stage 2: stats ---------------------------------------------------
-    if (!stageComplete(spark, dir, "stats")) {
-      val dm = spark.read.parquet(s"$dir/docmeta")
-      val row = dm.agg(count(lit(1)), sum($"dl"), avg($"dl".cast("double"))).head()
-      val n = row.getLong(0)
-      val tot = row.getLong(1)
+    // ---- stage 2: stats (derived from docmeta lineage; no table scan) -----
+    if (!stageComplete(spark, dir, "stats")) timedStage("stats") {
+      val lin = spark.read.parquet(s"$dir/lineage/docmeta").as[LineageRow].collect()
+      val n = lin.map(_.rows).sum
+      val tot = lin.map(_.termCount).sum
       // avgdl defined as sum/count in double — transliterated identically in
       // the oracle SQL (DuckDB avg over ints computes the same).
       val st = IndexStats(n, tot.toDouble / n.toDouble, tot)
       Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
-      writeLineage(spark, dir, "stats",
-        Seq((0L, n - 1, 1L, n ^ tot, 24L)).toDF("docId", "docIdMax", "terms", "h", "bytes"))
+      writeLineageRows(spark, dir, "stats",
+        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
     }
     val st = spark.read.parquet(s"$dir/stats").as[IndexStats].head()
     val n = st.n
@@ -129,12 +182,13 @@ object IndexBuilder {
     val salts = cfg.salts
 
     // ---- stage 3: postings ------------------------------------------------
-    if (!stageComplete(spark, dir, "postings")) {
-      // docIds are deterministic (data-derived), so re-running the
-      // assignment here yields exactly the ids persisted in docmeta —
-      // cheaper than a 3-string-key shuffle join of docmeta back to corpus.
-      val withIds = assignDocIds(spark, corpus, parts)
-      val tokens: Dataset[TermDoc] = withIds.flatMap { case (id, d) =>
+    if (!stageComplete(spark, dir, "postings")) timedStage("postings") {
+      // docIds are deterministic (data-derived), so on a resumed build this
+      // re-derives exactly the ids persisted in docmeta — cheaper than a
+      // 3-string-key shuffle join of docmeta back to corpus; in a fresh
+      // build the persisted dataset from stage 1 is reused directly.
+      val acc = newLineageAcc(spark, "postings")
+      val tokens: Dataset[TermDoc] = withIds().flatMap { case (id, d) =>
         val (tfs, dl) = Analyzer.termFreqs(d.content, mode)
         val salt = saltOf(id, n, salts)
         tfs.iterator.map { case (t, tf) => TermDoc(t, salt, id, tf, dl) }
@@ -143,36 +197,56 @@ object IndexBuilder {
         .repartition(parts, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
         .mapPartitions(buildBlocks(_, avgdl))
+        .mapPartitions(tally(acc, "postings")(
+          b => b.firstDocId, b => b.lastDocId, _ => 1L,
+          b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
+          b => mix3(b.term.hashCode.toLong, b.salt.toLong * 31 + b.blockIdx,
+            java.util.Arrays.hashCode(b.docDeltas).toLong)))
       blocks.write.mode("overwrite").parquet(s"$dir/postings")
-      writeLineage(spark, dir, "postings",
-        spark.read.parquet(s"$dir/postings")
-          .select($"firstDocId".as("docId"), $"lastDocId".as("docIdMax"),
-            lit(1L).as("terms"), xxhash64($"term", $"salt", $"blockIdx", $"docDeltas").as("h"),
-            (length($"docDeltas") + length($"tfs") + length($"dls")).cast("long").as("bytes")))
+      writeLineageRows(spark, dir, "postings", acc.value)
     }
 
     // ---- stage 4: termstats ----------------------------------------------
-    if (!stageComplete(spark, dir, "termstats")) {
+    if (!stageComplete(spark, dir, "termstats")) timedStage("termstats") {
+      // reads back only 3 pruned columns of the just-written postings
+      val acc = newLineageAcc(spark, "termstats")
       val po = spark.read.parquet(s"$dir/postings")
       po.groupBy($"term")
         .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
         .as[TermStat]
+        .mapPartitions(tally(acc, "termstats")(
+          _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
+          t => mix3(t.term.hashCode.toLong, t.df, 0L)))
         .write.mode("overwrite").parquet(s"$dir/termstats")
-      writeLineage(spark, dir, "termstats",
-        spark.read.parquet(s"$dir/termstats")
-          .select(lit(0L).as("docId"), lit(0L).as("docIdMax"), lit(1L).as("terms"),
-            xxhash64($"term", $"df").as("h"), lit(16L).as("bytes")))
+      writeLineageRows(spark, dir, "termstats", acc.value)
     }
 
+    if (sharedIds != null) sharedIds.release()
     Handle(dir, mode)
   }
 
   def saltOf(docId: Long, n: Long, salts: Int): Int =
     math.min(((docId * salts) / math.max(n, 1L)).toInt, salts - 1)
 
+  // MessageDigest.getInstance contends on provider locks when called per
+  // row across many task threads — thread-local instance + manual hex
+  // keeps hashing embarrassingly parallel.
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** One-pass block builder over a (term, salt, docId)-sorted partition.
@@ -213,27 +287,69 @@ object IndexBuilder {
 
   // ---- lineage / resume ----------------------------------------------------
 
-  /** Lineage rows are derived from the *written* table (not the in-flight
-    * job), so a validated stage is provably on disk; the marker file is
-    * written last → crash between data and marker ⇒ stage recomputes
-    * (SURVEY.md §7.4 item 5: never trust file existence alone).
+  private[index] def mix3(a: Long, b: Long, c: Long): Long = {
+    var x = a ^ (b * 0x9e3779b97f4a7c15L) ^ (c * 0xc2b2ae3d27d4eb4fL)
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def newLineageAcc(spark: SparkSession, stage: String) =
+    spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$stage")
+
+  /** Wraps a partition iterator to tally one LineageRow per partition into
+    * the accumulator as rows stream to the writer — lineage costs zero
+    * extra jobs. Task retries/speculation may add duplicate rows for a
+    * partition; tallies are a pure function of that partition's data, so
+    * duplicates are identical and deduped by partitionId on the driver.
     */
-  private def writeLineage(spark: SparkSession, dir: String, stage: String,
-                           perRow: DataFrame): Unit = {
+  private def tally[T](acc: org.apache.spark.util.CollectionAccumulator[LineageRow],
+                       stage: String)(
+      docIdMin: T => Long, docIdMax: T => Long, terms: T => Long,
+      bytes: T => Long, hash: T => Long): Iterator[T] => Iterator[T] = { it =>
+    new Iterator[T] {
+      private val pid = org.apache.spark.TaskContext.getPartitionId()
+      private var mn = Long.MaxValue
+      private var mx = Long.MinValue
+      private var tc = 0L
+      private var rows = 0L
+      private var bs = 0L
+      private var h = 0L
+      private var emitted = false
+      def hasNext: Boolean = {
+        val hn = it.hasNext
+        if (!hn && !emitted) {
+          emitted = true
+          if (rows > 0) acc.add(LineageRow(stage, pid, mn, mx, tc, rows, bs, h))
+        }
+        hn
+      }
+      def next(): T = {
+        val t = it.next()
+        val lo = docIdMin(t); val hi = docIdMax(t)
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+        tc += terms(t); rows += 1; bs += bytes(t); h ^= hash(t)
+        t
+      }
+    }
+  }
+
+  /** Lineage is written after the stage's table write returns (data is
+    * committed), and the marker file last → crash between data and marker
+    * ⇒ stage recomputes; stageComplete additionally reconciles row counts
+    * against the actual table (SURVEY.md §7.4 item 5: never trust file
+    * existence alone).
+    */
+  private def writeLineageRows(spark: SparkSession, dir: String, stage: String,
+                               rows: java.util.List[LineageRow]): Unit = {
     import spark.implicits._
-    val agg = perRow
-      .withColumn("pid", spark_partition_id())
-      .groupBy($"pid")
-      .agg(min($"docId").as("docIdMin"), max($"docIdMax").as("docIdMax"),
-        sum($"terms").cast("long").as("termCount"), count(lit(1)).as("rows"),
-        sum($"bytes").cast("long").as("bytes"),
-        expr("bit_xor(h)").as("contentHash"))
-      .select(lit(stage).as("stage"), $"pid".as("partitionId"), $"docIdMin",
-        $"docIdMax", $"termCount", $"rows", $"bytes", $"contentHash")
-      .as[LineageRow]
+    import scala.jdk.CollectionConverters._
+    val dedup = rows.asScala.groupBy(_.partitionId).map(_._2.head).toSeq
+      .sortBy(_.partitionId)
     // One lineage directory per stage, overwritten on recompute — so a
     // retried stage never leaves stale lineage that would break validation.
-    agg.write.mode("overwrite").parquet(s"$dir/lineage/$stage")
+    dedup.toDS().coalesce(1).write.mode("overwrite").parquet(s"$dir/lineage/$stage")
     touch(s"$dir/_STAGE_$stage")
   }
 

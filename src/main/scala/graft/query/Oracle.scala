@@ -21,10 +21,10 @@ object Oracle {
     val qTerms: Array[String] = Analyzer.tokens(query, mode).distinct.sorted
     if (qTerms.isEmpty) return spark.emptyDataset[Hit]
 
-    val withIds = IndexBuilder.assignDocIds(spark, corpus,
+    val assigned = IndexBuilder.assignDocIds(spark, corpus,
       spark.sessionState.conf.numShufflePartitions)
     // (docId, term, tf, dl) — tf computed locally per doc (map-side combine)
-    val tf = withIds.flatMap { case (id, d) =>
+    val tf = assigned.ds.flatMap { case (id, d) =>
       val (tfs, dl) = Analyzer.termFreqs(d.content, mode)
       tfs.iterator.map { case (t, c) => (id, t, c, dl) }
     }.toDF("docId", "term", "tf", "dl").cache()
@@ -58,6 +58,6 @@ object Oracle {
       // materialize before unpersisting the scratch tf table
       ordered.cache().count()
       ordered
-    } finally tf.unpersist()
+    } finally { tf.unpersist(); assigned.release() }
   }
 }

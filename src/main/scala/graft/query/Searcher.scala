@@ -22,6 +22,10 @@ object Searcher {
 
   final case class QueryTermStat(term: String, idf: Double)
 
+  // (N, avgdl) per index dir — constant once built; memoized to avoid one
+  // Spark job per query
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStats]
+
   /** Per-(term,salt) scorer construction from that group's blocks. */
   private def scorersFor(blocks: Seq[PostingBlock], stats: Map[String, Double],
                          avgdl: Double): Array[Wand.TermScorer] =
@@ -36,7 +40,7 @@ object Searcher {
            conjunctive: Boolean = false): Dataset[Hit] = {
     import spark.implicits._
     val terms = Analyzer.tokens(query, h.mode).distinct.sorted
-    val st = h.stats(spark)
+    val st = statsCache.getOrElseUpdate(h.dir, h.stats(spark))
     val n = st.n
     val avgdl = st.avgdl
     if (terms.isEmpty) return spark.emptyDataset[Hit]
