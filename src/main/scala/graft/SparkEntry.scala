@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.query.{Aggs, Searcher}
+import graft.analyze.Analyzer
+import graft.query.{Aggs, ScalarOps, Searcher}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -86,6 +87,41 @@ object SparkEntry {
 
   private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
 
+  /** Trigram tokens (Analyzer.Trigram(Simple) transliterated): char 3-grams
+    * per token, whole token when length ≤ 3; constant series bound (40)
+    * because DuckDB 1.0 lacks lateral generate_series.
+    */
+  private val trigramCte =
+    s"""$toksCte,
+       |tri AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(term) <= 3 THEN term ELSE substring(term, gs, 3) END AS term
+       |  FROM t2 CROSS JOIN generate_series(1, 40) g(gs)
+       |  WHERE gs <= greatest(length(term) - 2, 1))""".stripMargin
+
+  /** BM25 over the trigram token stream (substring-search mode, FIXTURES.md
+    * q6), conjunctive.
+    */
+  private def bm25TrigramSql(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $trigramCte,
+       |tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tri GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tri GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+       |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1),
+       |scores AS (
+       |  SELECT tft.doc_id AS doc_id,
+       |         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |              * tft.tf / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+       |  FROM tft
+       |  JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE tft.term IN ($termList)
+       |  GROUP BY 1 HAVING count(*) = ${terms.distinct.size})
+       |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+       |FROM scores ORDER BY score_q DESC, doc_id""".stripMargin
+  }
+
   // ---- engine-side query helpers ------------------------------------------
 
   private def bm25(spark: SparkSession, sfDir: String, q: String,
@@ -124,6 +160,12 @@ object SparkEntry {
       val h = Engine.indexFor(s, dir)
       h.termstats(s).toDF().select(col("term"), col("df")).orderBy(col("term"))
     },
+    // F10/q6: substring search via a trigram index, conjunctive BM25
+    "ft_trigram_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir, Analyzer.Trigram(Analyzer.Simple))
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topK(s, h, "windo", Int.MaxValue, conjunctive = true).toDF())
+    },
 
     // === analytical surface (SURVEY §2 E/F) ===
     "agg_date_histogram" -> ((s, d) => Aggs.dateHistogram(s, d)),
@@ -149,6 +191,14 @@ object SparkEntry {
     "fn_bitmask_flags" -> ((s, d) => Aggs.bitmaskFlags(s, d)),
     "fn_composite_token" -> ((s, d) => Aggs.compositeToken(s, d)),
     "fn_memo_normalize" -> ((s, d) => Aggs.memoNormalize(s, d)),
+    "fn_fixed_point" -> ((s, d) => ScalarOps.fixedPoint(s, d)),
+    "fn_rational" -> ((s, d) => ScalarOps.rationalPrice(s, d)),
+    "fn_nullable_struct" -> ((s, d) => ScalarOps.nullableStruct(s, d)),
+    "fn_asset_id" -> ((s, d) => ScalarOps.assetId(s, d)),
+    "fn_success_gate" -> ((s, d) => ScalarOps.successGate(s, d)),
+    "fn_epoch_ts" -> ((s, d) => ScalarOps.epochTs(s, d)),
+    "fn_type_dispatch" -> ((s, d) => ScalarOps.typeDispatch(s, d)),
+    "gen_mirror_fanout" -> ((s, d) => ScalarOps.mirrorFanout(s, d)),
 
     // === training-data pipeline ops ===
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -183,6 +233,7 @@ object SparkEntry {
     "ft_termstats" ->
       s"""WITH $toksCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term ORDER BY term""".stripMargin,
+    "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
 
     // === analytical surface ===
     "agg_date_histogram" ->
@@ -292,6 +343,56 @@ object SparkEntry {
         |            WHEN n_chars % 3 = 1 THEN to_base64(encode(substr(text, 1, 9)))
         |            ELSE NULL END AS memo_value
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_fixed_point" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       printf('%d.%07d', (l_orderkey * 10000000 + l_partkey) // 10000000,
+        |              (l_orderkey * 10000000 + l_partkey) % 10000000) AS amount
+        |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_rational" ->
+      s"""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+         |       l_partkey + 1 AS n, l_suppkey + 1 AS d,
+         |       ${q4("(l_partkey + 1)::DOUBLE / (l_suppkey + 1)::DOUBLE")} AS price_q
+         |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_nullable_struct" ->
+      s"""SELECT event_id,
+         |       (value > 25 OR value > 75) AS has_thresholds,
+         |       CASE WHEN value > 25 THEN ${q4("value")} END AS low_q,
+         |       CASE WHEN value > 75 THEN ${q4("value")} END AS high_q
+         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_asset_id" ->
+      """SELECT p_partkey,
+        |       CASE WHEN p_partkey % 10 = 0 THEN 'native'
+        |            ELSE p_brand || '-' || p_type END AS asset_id
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_success_gate" ->
+      s"""SELECT event_type, count(*) AS n, ${q4("sum(value)")} AS sum_q
+         |FROM events WHERE event_type <> 'error' AND value >= 1.0
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "fn_epoch_ts" ->
+      """SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS epoch_s,
+        |       strftime(to_timestamp(epoch(o_orderdate)::BIGINT), '%Y-%m-%d %H:%M:%S') AS roundtrip
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "fn_type_dispatch" ->
+      s"""SELECT event_id, event_type,
+         |       CASE WHEN event_type = 'click' THEN ${q4("value * 2")}
+         |            WHEN event_type = 'view' THEN ${q4("value / 2")}
+         |            WHEN event_type = 'purchase' THEN ${q4("value * 100")}
+         |            WHEN event_type = 'signup' THEN 1
+         |            ELSE -1 END AS typed_value,
+         |       CASE WHEN event_type IN ('click', 'view') THEN user_id END AS actor
+         |FROM events ORDER BY event_id""".stripMargin,
+    "gen_mirror_fanout" ->
+      s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+         |SELECT * FROM (
+         |  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, 'seller' AS side,
+         |         CASE WHEN l_quantity <> 0 THEN ${q4("l_extendedprice / l_quantity")} ELSE 0 END AS px_q
+         |  FROM src
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber::BIGINT, 'buyer',
+         |         CASE WHEN l_extendedprice <> 0 THEN ${q4("l_quantity / l_extendedprice")} ELSE 0 END
+         |  FROM src)
+         |ORDER BY l_orderkey, l_linenumber, side""".stripMargin,
 
     // === training-data ops ===
     "dedup_exact" ->
