@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.analyze.Analyzer
+import graft.corpus.Corpus
+import graft.index.{CorpusDoc, IndexBuilder}
+import graft.query.Searcher
+import graft.streaming.StreamingIngest
+
+/** CLI — the reference's command surface (main.go:19-41: `create-index`,
+  * `export`, `ingest`, `stats`, `es-stats`) re-expressed over the Spark
+  * engine, so a user of the reference can run the same operations:
+  *
+  *   graft.Cli create-index <indexDir> [--force]
+  *   graft.Cli export <srcDir> <indexDir> [--mode simple|code] [--salts N] [--partitions N]
+  *   graft.Cli ingest <srcDir> <indexDir> <checkpointDir> [--seconds S]
+  *   graft.Cli stats <indexDir>
+  *   graft.Cli search <indexDir> <k> <query terms...> [--and]
+  *
+  * `export` accepts either a directory containing `documents.parquet`
+  * (the driver stand-in, mapped per FIXTURES.md §2) or a parquet table
+  * already in the corpus shape (repo, path, commit, lang, content).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  private def flag(args: Seq[String], name: String): Boolean = args.contains(name)
+  private def opt(args: Seq[String], name: String, dflt: String): String = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) args(i + 1) else dflt
+  }
+
+  private def corpusOf(spark: SparkSession, srcDir: String): Dataset[CorpusDoc] = {
+    import spark.implicits._
+    if (new java.io.File(s"$srcDir/documents.parquet").exists())
+      Corpus.fromDocuments(spark, srcDir)
+    else spark.read.parquet(srcDir)
+      .select("repo", "path", "commit", "lang", "content").as[CorpusDoc]
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = args.toList match {
+    case "create-index" :: dir :: rest =>
+      val f = new java.io.File(dir)
+      if (f.exists() && flag(rest, "--force")) {
+        def rm(p: java.io.File): Unit = { if (p.isDirectory) p.listFiles.foreach(rm); p.delete() }
+        rm(f) // --force drop-recreate (commands/create-index.go:29-42 analog)
+      }
+      require(!f.exists() || f.listFiles().isEmpty, s"index exists at $dir (use --force)")
+      f.mkdirs()
+      println(s"created $dir")
+
+    case "export" :: srcDir :: indexDir :: rest =>
+      val mode = opt(rest, "--mode", "simple") match {
+        case "code" => Analyzer.Code
+        case "trigram" => Analyzer.Trigram(Analyzer.Simple)
+        case _ => Analyzer.Simple
+      }
+      val cfg = IndexBuilder.Config(
+        salts = opt(rest, "--salts", "8").toInt,
+        partitions = opt(rest, "--partitions", "0").toInt,
+        mode = mode)
+      val h = IndexBuilder.build(spark, corpusOf(spark, srcDir), indexDir, cfg)
+      val st = h.stats(spark)
+      println(s"indexed n=${st.n} docs, avgdl=${st.avgdl}, tokens=${st.totalTokens} -> $indexDir")
+
+    case "ingest" :: srcDir :: indexDir :: ckp :: rest =>
+      val secs = opt(rest, "--seconds", "10").toInt
+      val avgdl = try IndexBuilder.Handle(indexDir, Analyzer.Simple).stats(spark).avgdl
+        catch { case _: Throwable => 80.0 }
+      val q = StreamingIngest.startIndexAppend(spark, srcDir, indexDir, ckp, avgdl)
+      q.awaitTermination(secs * 1000L)
+      q.stop()
+      println(s"ingest stopped; segments under $indexDir/ingest_segments")
+
+    case "stats" :: indexDir :: _ =>
+      // lineage report — the `stats`/`es-stats` reconciliation analog
+      // (commands/stats.go:20-67): per-stage row counts, docId coverage,
+      // byte volume.
+      import spark.implicits._
+      val lin = IndexBuilder.Handle(indexDir, Analyzer.Simple).lineage(spark)
+        .groupByKey(_.stage)
+        .mapGroups { (stage, it) =>
+          val rows = it.toSeq
+          (stage, rows.map(_.rows).sum, rows.map(_.docIdMin).min,
+            rows.map(_.docIdMax).max, rows.map(_.bytes).sum, rows.size)
+        }
+        .collect().sortBy(_._1)
+      println(f"${"stage"}%-10s ${"rows"}%12s ${"docIdMin"}%12s ${"docIdMax"}%12s ${"bytes"}%12s parts")
+      lin.foreach { case (s, r, mn, mx, b, p) =>
+        println(f"$s%-10s $r%12d $mn%12d $mx%12d $b%12d $p%5d")
+      }
+
+    case "search" :: indexDir :: k :: rest =>
+      val conj = flag(rest, "--and")
+      val terms = rest.filterNot(_.startsWith("--")).mkString(" ")
+      // infer analyzer mode from how the index was built? default simple
+      val h = IndexBuilder.Handle(indexDir, Analyzer.Simple)
+      Searcher.topK(spark, h, terms, k.toInt, conj).collect()
+        .foreach(hit => println(f"${hit.docId}%12d  ${hit.score}%.6f"))
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: create-index <dir> [--force] | export <src> <dir> [--mode m] |
+           |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
+           |       search <dir> <k> <terms...> [--and]""".stripMargin)
+  }
+}

