@@ -65,24 +65,29 @@ object IndexBuilder {
     }
   }
 
-  /** Id-assigned corpus plus a cache-release callback (the range-sorted
-    * dataset is persisted so the count pass and every consumer share one
-    * shuffle+sort).
+  /** Id-assigned corpus (DataFrame: docId, repo, path, commit, lang,
+    * content) plus a cache-release callback (the range-sorted dataset is
+    * persisted so the count pass and every consumer share one shuffle+sort).
     */
-  final case class Assigned(ds: Dataset[(Long, CorpusDoc)], release: () => Unit)
+  final case class Assigned(df: DataFrame, release: () => Unit)
 
   /** Deterministic docId assignment: dense rank over the unique sort key —
     * the standard two-pass scalable pattern (range-sort, count per
-    * partition, cumulative offsets, per-partition index). All Dataset ops
-    * (Tungsten columnar cache, whole-stage codegen); no single-partition
-    * window, no RDD object round-trip. The cached sorted plan pins the
-    * range boundaries, so both passes (and any cache-eviction recompute,
-    * which replays the same RDD graph + partitioner) see identical
-    * partitioning — ids are a pure function of the data (§7.4 item 1).
+    * partition, cumulative offsets, per-partition index), expressed
+    * entirely in column expressions: the per-partition index is
+    * `monotonically_increasing_id() & (2^33-1)` (Spark defines mii as
+    * pid<<33 | rowIndexInPartition) plus the partition's cumulative offset
+    * looked up from a literal array by `spark_partition_id()`. No object
+    * round-trip, no single-partition window — the projection stays in
+    * whole-stage codegen over the columnar cache. The cached sorted plan
+    * pins the range boundaries, so both passes (and any cache-eviction
+    * recompute, which replays the same RDD graph + partitioner) see
+    * identical partitioning — ids are a pure function of the data
+    * (§7.4 item 1).
     */
   def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int): Assigned = {
     import spark.implicits._
-    val sorted = corpus
+    val sorted = corpus.toDF()
       .repartitionByRange(partitions, $"repo", $"path", $"commit")
       .sortWithinPartitions($"repo", $"path", $"commit")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -97,13 +102,11 @@ object IndexBuilder {
       acc += counts.getOrElse(p, 0L)
       p += 1
     }
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val ds = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = bOff.value(pid)
-      it.map { d => val r = (i, d); i += 1; r }
-    }
-    Assigned(ds, () => { sorted.unpersist(blocking = false); () })
+    val df = sorted.select(
+      (element_at(typedLit(offsets.toSeq), spark_partition_id() + 1) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))).as("docId"),
+      $"repo", $"path", $"commit", $"lang", $"content")
+    Assigned(df, () => { sorted.unpersist(blocking = false); () })
   }
 
   private def hashRow(parts: Any*): Long =
@@ -137,12 +140,16 @@ object IndexBuilder {
     // re-running the range-sort shuffle per stage. At extreme scale the
     // same role is played by a transient sorted table.
     var sharedIds: Assigned = null
-    def withIds(): Dataset[(Long, CorpusDoc)] = {
+    def withIds(): DataFrame = {
       if (sharedIds == null) sharedIds = assignDocIds(spark, corpus, parts)
-      sharedIds.ds
+      sharedIds.df
     }
+    graft.functions.TokenStats.register(spark)
+    def tokenStats = call_function("token_stats", $"content", lit(mode.name))
 
     // ---- stage 1: docmeta -------------------------------------------------
+    // Pure column expressions (token_stats is a native codegen Expression) —
+    // the only object pass is the lineage tally over the narrow final rows.
     // Lineage is tallied by an accumulator inside the SAME job that writes
     // the table (one pass, no read-back job). For docmeta, lineage.termCount
     // carries Σdl per partition, which lets stage 2 derive (N, avgdl) with
@@ -150,11 +157,10 @@ object IndexBuilder {
     val docmetaDone = stageComplete(spark, dir, "docmeta")
     if (!docmetaDone) timedStage("docmeta") {
       val acc = newLineageAcc(spark, "docmeta")
-      val meta = withIds().map { case (id, d) =>
-        val (_, dl) = Analyzer.termFreqs(d.content, mode)
-        DocMeta(id, d.repo, d.path, d.commit, d.lang,
-          dl, sha256Hex(d.content))
-      }
+      val meta = withIds().select($"docId", $"repo", $"path", $"commit", $"lang",
+          tokenStats.getField("dl").as("dl"),
+          sha2($"content", 256).as("sha256"))
+        .as[DocMeta]
       val instrumented = meta.mapPartitions(tally(acc, "docmeta")(
         m => m.docId, m => m.docId, m => m.dl.toLong,
         m => 48L + m.repo.length + m.path.length,
@@ -188,14 +194,21 @@ object IndexBuilder {
       // 3-string-key shuffle join of docmeta back to corpus; in a fresh
       // build the persisted dataset from stage 1 is reused directly.
       val acc = newLineageAcc(spark, "postings")
-      val tokens: Dataset[TermDoc] = withIds().flatMap { case (id, d) =>
-        val (tfs, dl) = Analyzer.termFreqs(d.content, mode)
-        val salt = saltOf(id, n, salts)
-        tfs.iterator.map { case (t, tf) => TermDoc(t, salt, id, tf, dl) }
-      }
+      // tokenize → explode → salt, all in whole-stage codegen (token_stats
+      // evaluated once per row in the projection feeding the Generate);
+      // objects materialize only at the block builder, on narrow TermDoc
+      // rows — never on 1 KB content strings.
+      val tokens = withIds()
+        .select($"docId", tokenStats.as("ts"))
+        .select($"docId", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
+        .select($"tt.term".as("term"),
+          least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
+            .cast("int").as("salt"),
+          $"docId", $"tt.tf".as("tf"), $"dl")
       val blocks = tokens
         .repartition(parts, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
+        .as[TermDoc]
         .mapPartitions(buildBlocks(_, avgdl))
         .mapPartitions(tally(acc, "postings")(
           b => b.firstDocId, b => b.lastDocId, _ => 1L,

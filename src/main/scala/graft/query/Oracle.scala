@@ -24,10 +24,11 @@ object Oracle {
     val assigned = IndexBuilder.assignDocIds(spark, corpus,
       spark.sessionState.conf.numShufflePartitions)
     // (docId, term, tf, dl) — tf computed locally per doc (map-side combine)
-    val tf = assigned.ds.flatMap { case (id, d) =>
-      val (tfs, dl) = Analyzer.termFreqs(d.content, mode)
-      tfs.iterator.map { case (t, c) => (id, t, c, dl) }
-    }.toDF("docId", "term", "tf", "dl").cache()
+    val tf = assigned.df.select($"docId", $"content").as[(Long, String)]
+      .flatMap { case (id, content) =>
+        val (tfs, dl) = Analyzer.termFreqs(content, mode)
+        tfs.iterator.map { case (t, c) => (id, t, c, dl) }
+      }.toDF("docId", "term", "tf", "dl").cache()
     try {
       val dlAgg = tf.select($"docId", $"dl").distinct()
         .agg(count(lit(1)), sum($"dl")).head()
