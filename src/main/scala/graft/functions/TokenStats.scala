@@ -53,20 +53,20 @@ object TokenStats {
     case _ => Analyzer.Simple
   }
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * Byte-level path (AnalyzerBytes): no java String materialization of the
+    * content or the tokens — equivalence with Analyzer property-tested.
+    */
   def eval(s: UTF8String, modeName: String): InternalRow = {
-    val (tfs, dl) = Analyzer.termFreqs(s.toString, modeOf(modeName))
-    val arr = new Array[Any](tfs.length)
+    val (terms, tfs, dl) = graft.analyze.AnalyzerBytes.termFreqs(s, modeName)
+    val arr = new Array[Any](terms.length)
     var i = 0
-    while (i < tfs.length) {
-      arr(i) = new GenericInternalRow(
-        Array[Any](UTF8String.fromString(tfs(i)._1), tfs(i)._2))
+    while (i < terms.length) {
+      arr(i) = new GenericInternalRow(Array[Any](terms(i), tfs(i)))
       i += 1
     }
     new GenericInternalRow(Array[Any](new GenericArrayData(arr), dl))
   }
-
-  private def arrayData(xs: Array[Any]): ArrayData = new GenericArrayData(xs)
 
   /** Register `token_stats(text, mode)` for SQL / call_function use —
     * the mode argument must be a string literal.

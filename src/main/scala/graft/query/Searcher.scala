@@ -26,6 +26,14 @@ object Searcher {
   // Spark job per query
   private val statsCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStats]
 
+  // postings kept hot per index dir (columnar cache, spills under pressure)
+  // — a search engine keeps its index resident; repeated queries then pay
+  // only the filter + WAND, not the parquet scan
+  private val postingsCache = scala.collection.concurrent.TrieMap.empty[String, Dataset[PostingBlock]]
+
+  private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle): Dataset[PostingBlock] =
+    postingsCache.getOrElseUpdate(h.dir, h.postings(spark).cache())
+
   /** Per-(term,salt) scorer construction from that group's blocks. */
   private def scorersFor(blocks: Seq[PostingBlock], stats: Map[String, Double],
                          avgdl: Double): Array[Wand.TermScorer] =
@@ -33,11 +41,45 @@ object Searcher {
       new Wand.TermScorer(t, bs.sortBy(_.blockIdx).toArray, stats(t), avgdl)
     }.toArray.sortBy(_.term)
 
+  /** Σdf below which the coordinator executes the query itself over
+    * collected blocks (one pruned-scan job, no shuffle) — the ES
+    * coordinating-node analog. Above it, per-salt distributed WAND.
+    */
+  val DriverPathMaxPostings = 500000L
+
+  /** Per-salt WAND over a block collection (salts are disjoint docId
+    * ranges, so per-salt results merge without re-scoring).
+    */
+  private def saltWand(blocks: Iterable[PostingBlock], idfs: Map[String, Double],
+                       avgdl: Double, k: Int, conj: Boolean, nTerms: Int): Iterator[(Long, Double)] =
+    blocks.groupBy(_.salt).iterator.flatMap { case (_, bs) =>
+      val scorers = scorersFor(bs.toSeq, idfs, avgdl)
+      if (conj) {
+        if (scorers.length < nTerms) Iterator.empty
+        else {
+          val all = Wand.intersectAnd(scorers)
+          if (k == Int.MaxValue) all.iterator
+          else {
+            val t = new Wand.TopK(k)
+            all.foreach { case (d, s) => t.insert(s, d) }
+            t.result.iterator
+          }
+        }
+      } else Wand.topKOr(scorers, k).iterator
+    }
+
   /** Disjunctive (OR, the Lucene `match` default) BM25 top-k.
     * k = Int.MaxValue ⇒ exhaustive: every matching doc, ranked.
+    *
+    * Execution is adaptive: small posting volume (Σdf over query terms) →
+    * coordinator-side WAND over collected blocks (one job: pruned parquet
+    * scan + collect); large → distributed per-salt WAND + global
+    * TakeOrderedAndProject merge. Results are identical — salts are
+    * disjoint sub-indexes either way.
     */
   def topK(spark: SparkSession, h: IndexBuilder.Handle, query: String, k: Int,
-           conjunctive: Boolean = false): Dataset[Hit] = {
+           conjunctive: Boolean = false,
+           driverPathMaxPostings: Long = DriverPathMaxPostings): Dataset[Hit] = {
     import spark.implicits._
     val terms = Analyzer.tokens(query, h.mode).distinct.sorted
     val st = statsCache.getOrElseUpdate(h.dir, h.stats(spark))
@@ -50,31 +92,28 @@ object Searcher {
       .collect().map(ts => ts.term -> ts.df).toMap
     val idfs: Map[String, Double] =
       terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
-    val bIdfs = spark.sparkContext.broadcast(idfs)
     val conj = conjunctive
     val nTerms = terms.length
+    val matching = hotPostings(spark, h).filter($"term".isin(terms: _*))
 
-    val perSalt: Dataset[Hit] = h.postings(spark)
-      .filter($"term".isin(terms: _*))
-      .groupByKey(_.salt)
-      .flatMapGroups { (_, it) =>
-        val blocks = it.toSeq
-        val scorers = scorersFor(blocks, bIdfs.value, avgdl)
-        val hits =
-          if (conj) {
-            if (scorers.length < nTerms) Array.empty[(Long, Double)]
-            else {
-              val all = Wand.intersectAnd(scorers)
-              if (k == Int.MaxValue) all
-              else { val t = new Wand.TopK(k); all.foreach { case (d, s) => t.insert(s, d) }; t.result }
-            }
-          } else Wand.topKOr(scorers, k)
-        hits.iterator.map { case (d, s) => Hit(d, s) }
-      }
-    // global merge: (score desc, docId asc); Catalyst plans this as
-    // TakeOrderedAndProject when k is finite.
-    if (k == Int.MaxValue) perSalt.orderBy($"score".desc, $"docId".asc)
-    else perSalt.orderBy($"score".desc, $"docId".asc).limit(k)
+    if (dfs.values.sum <= driverPathMaxPostings) {
+      val hits = saltWand(matching.collect(), idfs, avgdl, k, conj, nTerms)
+        .toArray.sortBy { case (d, s) => (-s, d) }
+      val top = if (k == Int.MaxValue) hits else hits.take(k)
+      spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
+    } else {
+      val bIdfs = spark.sparkContext.broadcast(idfs)
+      val perSalt: Dataset[Hit] = matching
+        .groupByKey(_.salt)
+        .flatMapGroups { (_, it) =>
+          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms)
+            .map { case (d, s) => Hit(d, s) }
+        }
+      // global merge: (score desc, docId asc); Catalyst plans this as
+      // TakeOrderedAndProject when k is finite.
+      if (k == Int.MaxValue) perSalt.orderBy($"score".desc, $"docId".asc)
+      else perSalt.orderBy($"score".desc, $"docId".asc).limit(k)
+    }
   }
 
   /** Exact boolean term lookup (F1/F11): docIds containing `term`. */

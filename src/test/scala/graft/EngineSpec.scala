@@ -60,6 +60,56 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(got.length > 10)
   }
 
+  test("driver fast path ≡ distributed path (identical hits, both modes)") {
+    for (q <- Seq("the import def", "sparkSession", "read parquet"); conj <- Seq(false, true)) {
+      val fast = Searcher.topK(spark, handle, q, 10, conj).collect()
+      val dist = Searcher.topK(spark, handle, q, 10, conj,
+        driverPathMaxPostings = 0L).collect()
+      assert(fast.toSeq == dist.toSeq, s"[$q conj=$conj]")
+    }
+  }
+
+  test("property: WAND top-k equals brute-force scoring on 50 seeded random posting sets") {
+    val rnd = new scala.util.Random(13)
+    val avgdl = 50.0
+    for (trial <- 0 until 50) {
+      val nTerms = 1 + rnd.nextInt(4)
+      val terms = (0 until nTerms).map(i => s"t$i")
+      val n = 500L
+      // random postings per term, random tf/dl
+      val postings: Map[String, Seq[(Long, Int, Int)]] = terms.map { t =>
+        val docs = (0 until 1 + rnd.nextInt(200))
+          .map(_ => rnd.nextLong(400)).distinct.sorted
+        t -> docs.map(d => (d, 1 + rnd.nextInt(5), 10 + rnd.nextInt(90)))
+      }.toMap
+      val dfs = postings.map { case (t, ps) => t -> ps.size.toLong }
+      val idfs = terms.map(t => t -> graft.query.Bm25.idf(n, dfs(t))).toMap
+      // brute force: score per doc, sum in ascending-term order
+      val byDoc = scala.collection.mutable.Map.empty[Long, Double]
+      for (t <- terms.sorted; (d, tf, dl) <- postings(t))
+        byDoc(d) = byDoc.getOrElse(d, 0.0) + idfs(t) * graft.query.Bm25.impact(tf, dl, avgdl)
+      val want = byDoc.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+      // engine: encode as blocks (small block size exercises block-max skips)
+      val scorers = terms.map { t =>
+        val ps = postings(t)
+        val blocks = ps.grouped(7).zipWithIndex.map { case (chunk, bi) =>
+          val docs = chunk.map(_._1).toArray
+          val tfs = chunk.map(_._2).toArray
+          val dls = chunk.map(_._3).toArray
+          val maxImp = tfs.zip(dls).map { case (tf, dl) =>
+            graft.query.Bm25.impact(tf, dl, avgdl) }.max
+          graft.index.PostingBlock(t, 0, bi, docs.head, docs.last, docs.length,
+            graft.index.Codec.encodeDeltas(docs, docs.head),
+            graft.index.Codec.encodeInts(tfs), graft.index.Codec.encodeInts(dls), maxImp)
+        }.toArray
+        new graft.query.Wand.TermScorer(t, blocks, idfs(t), avgdl)
+      }.toArray
+      val got = graft.query.Wand.topKOr(scorers, 10).toSeq
+      assert(got == want.map { case (d, s) => (d, s) },
+        s"trial $trial: got ${got.take(3)} want ${want.take(3)}")
+    }
+  }
+
   test("unknown term → empty result, no crash") {
     assert(Searcher.topK(spark, handle, "qqqqnotaterm", 10).collect().isEmpty)
     assert(Searcher.topK(spark, handle, "", 10).collect().isEmpty)
