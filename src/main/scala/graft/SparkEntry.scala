@@ -166,6 +166,18 @@ object SparkEntry {
       Engine.hitsAsDocIds(s, h,
         Searcher.topK(s, h, "windo", Int.MaxValue, conjunctive = true).toDF())
     },
+    // phrase search: candidate-then-verify — conjunctive WAND candidates,
+    // then exact phrase check against the source text (the cheap production
+    // pattern when the index has no positions; positions are future work)
+    "ft_phrase_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val ranked = Engine.hitsAsDocIds(s, h,
+        Searcher.topK(s, h, "join order", Int.MaxValue, conjunctive = true).toDF())
+      ranked.join(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .filter(lower(col("text")).contains("join order"))
+        .select(col("doc_id"), col("score_q"))
+        .orderBy(desc("score_q"), col("doc_id"))
+    },
 
     // === analytical surface (SURVEY §2 E/F) ===
     "agg_date_histogram" -> ((s, d) => Aggs.dateHistogram(s, d)),
@@ -244,6 +256,12 @@ object SparkEntry {
       s"""WITH $toksCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term ORDER BY term""".stripMargin,
     "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
+    "ft_phrase_search" ->
+      s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
+         |SELECT b.doc_id AS doc_id, b.score_q AS score_q
+         |FROM base b JOIN documents d ON b.doc_id = d.doc_id
+         |WHERE lower(d.text) LIKE '%join order%'
+         |ORDER BY score_q DESC, doc_id""".stripMargin,
 
     // === analytical surface ===
     "agg_date_histogram" ->

@@ -29,6 +29,12 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("flagship entry: builds sf0.001 index, returns ranked rows (driver smoke)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 10)
+    assert(rows.head.schema.fieldNames.toSet == Set("doc_id", "score_q"))
+  }
+
   test("cli: create-index/export/stats/search round-trip") {
     val idx = tmpDir("graft-cli-idx")
     new java.io.File(idx).delete()
