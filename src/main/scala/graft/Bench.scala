@@ -105,14 +105,18 @@ object Bench {
     // --- 1. scaling ---------------------------------------------------------
     val wide = math.min(32, cpus)
     val roundsThr = interleavedThroughput(Seq(2, 8, wide), docs, rounds = 4)
-    // best within-round pair (steady-state round; cold/noisy rounds hurt
-    // both levels of a pair equally, so pairing cancels drift)
-    val bestPair28 = roundsThr.maxBy(r => r(8) / r(2))
-    val bestPair832 = roundsThr.maxBy(r => r(wide) / r(8))
-    val (thr2, thr8) = (bestPair28(2), bestPair28(8))
-    val thr32 = bestPair832(wide)
+    // median within-round pair ratio: pairing cancels host-noise drift
+    // (levels of a round run adjacent in time); the median round is robust
+    // to a single disturbed round in either direction (max would cherry-pick
+    // noise, mean would average it in)
+    def medianPair(a: Int, b: Int): Map[Int, Double] =
+      roundsThr.sortBy(r => r(b) / r(a)).apply(roundsThr.size / 2)
+    val pair28 = medianPair(2, 8)
+    val pair832 = medianPair(8, wide)
+    val (thr2, thr8) = (pair28(2), pair28(8))
+    val thr32 = pair832(wide)
     val eff28 = (thr8 / thr2) / 4.0
-    val eff832 = (bestPair832(wide) / bestPair832(8)) / 4.0
+    val eff832 = (pair832(wide) / pair832(8)) / 4.0
 
     // --- 2. sf-corpus index + query latencies -------------------------------
     val spark = newSession(cpus)

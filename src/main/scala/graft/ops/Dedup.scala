@@ -111,14 +111,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verify on candidates only
+    // exact verify on candidates only — join the (small) candidate set to
+    // each side's shingles and count equal shingles per pair; the full
+    // shingle self-join never happens, so verification cost is
+    // O(|candidates| · shingles²/doc), not O(corpus²)
     val shDf = sh.toDF("doc_id", "sh")
     val sizes = shDf.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("n"))
-    val interAll = shDf.as("x").join(shDf.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val interAll = cands
+      .join(shDf.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(shDf.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+      .filter(col("sha") === col("shb"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("i"))
-    cands.join(interAll, Seq("a", "b"))
+    interAll
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
