@@ -110,6 +110,38 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("property: WAND handles mass ties — uniform tf/dl, ranking purely by docId") {
+    val avgdl = 20.0
+    val n = 1000L
+    // two terms, overlapping docs, ALL postings identical (tf=2, dl=20):
+    // every matched doc in a score class ties exactly; order must be docId
+    val t1Docs = (0L until 300L by 3).toArray // multiples of 3
+    val t2Docs = (0L until 300L by 5).toArray // multiples of 5
+    def blocksFor(t: String, docs: Array[Long]) =
+      docs.grouped(16).zipWithIndex.map { case (chunk, bi) =>
+        graft.index.PostingBlock(t, 0, bi, chunk.head, chunk.last, chunk.length,
+          graft.index.Codec.encodeDeltas(chunk, chunk.head),
+          graft.index.Codec.encodeInts(Array.fill(chunk.length)(2)),
+          graft.index.Codec.encodeInts(Array.fill(chunk.length)(20)),
+          graft.query.Bm25.impact(2, 20, avgdl))
+      }.toArray
+    val idf1 = graft.query.Bm25.idf(n, t1Docs.length)
+    val idf2 = graft.query.Bm25.idf(n, t2Docs.length)
+    val scorers = Array(
+      new graft.query.Wand.TermScorer("t1", blocksFor("t1", t1Docs), idf1, avgdl),
+      new graft.query.Wand.TermScorer("t2", blocksFor("t2", t2Docs), idf2, avgdl))
+    val got = graft.query.Wand.topKOr(scorers, 12).toSeq
+    // brute force
+    val byDoc = scala.collection.mutable.Map.empty[Long, Double]
+    for (d <- t1Docs) byDoc(d) = byDoc.getOrElse(d, 0.0) + idf1 * graft.query.Bm25.impact(2, 20, avgdl)
+    for (d <- t2Docs) byDoc(d) = byDoc.getOrElse(d, 0.0) + idf2 * graft.query.Bm25.impact(2, 20, avgdl)
+    val want = byDoc.toSeq.sortBy { case (d, s) => (-s, d) }.take(12)
+    assert(got == want)
+    // the top hits are the both-term docs (multiples of 15), in docId order
+    assert(got.takeWhile(_._2 == got.head._2).map(_._1) ==
+      (0L until 300L by 15).take(got.count(_._2 == got.head._2)))
+  }
+
   test("unknown term → empty result, no crash") {
     assert(Searcher.topK(spark, handle, "qqqqnotaterm", 10).collect().isEmpty)
     assert(Searcher.topK(spark, handle, "", 10).collect().isEmpty)
