@@ -211,14 +211,22 @@ object SparkEntry {
     "fn_epoch_ts" -> ((s, d) => ScalarOps.epochTs(s, d)),
     "fn_type_dispatch" -> ((s, d) => ScalarOps.typeDispatch(s, d)),
     "gen_mirror_fanout" -> ((s, d) => ScalarOps.mirrorFanout(s, d)),
-    // native Catalyst expression (codegen'd) — code-aware tokenizer; on this
-    // all-lowercase corpus its token count equals the Simple tokenizer's,
-    // which is what the oracle checks
+    // native Catalyst expression (codegen'd) — code-aware tokenizer. The
+    // corpus is all-lowercase, so both engines first derive the same
+    // deterministic mixed-case text (two uppercased slices ⇒ camelCase +
+    // acronym boundaries on every doc); the oracle transliterates the full
+    // boundary rules into regex passes and checks token CONTENT (md5 of the
+    // joined stream), not just the count.
     "fn_code_tokens" -> { (s, d) =>
       graft.functions.CodeTokens.register(s)
       s.read.parquet(s"$d/documents.parquet")
+        .withColumn("mixed", concat(
+          upper(substring(col("text"), 1, 8)), substring(col("text"), 9, 12),
+          upper(substring(col("text"), 21, 5)), expr("substring(text, 26)")))
+        .withColumn("toks", call_function("code_tokens", col("mixed")))
         .select(col("doc_id"),
-          size(call_function("code_tokens", col("text"))).cast("long").as("n_tokens"))
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("toks"))).as("fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -422,11 +430,28 @@ object SparkEntry {
          |  FROM src)
          |ORDER BY l_orderkey, l_linenumber, side""".stripMargin,
 
+    // Analyzer.code transliterated: acronym rule first (upper-run keeps its
+    // last char for the following lower), then lower→upper, then the two
+    // letter↔digit boundaries; validated case-by-case against the Scala
+    // single-pass tokenizer (AnalyzerSpec).
     "fn_code_tokens" ->
-      s"""WITH $toksCte
-         |SELECT d.doc_id AS doc_id, count(t2.term) AS n_tokens
-         |FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, upper(substr(text, 1, 8)) || substr(text, 9, 12) ||
+        |         upper(substr(text, 21, 5)) || substr(text, 26) AS mixed
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(mixed,
+        |             '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+        |             '([a-z])([A-Z])', '\1 \2', 'g'),
+        |             '([0-9])([A-Za-z])', '\1 \2', 'g'),
+        |             '([A-Za-z])([0-9])', '\1 \2', 'g')
+        |         ), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM m)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |       md5(array_to_string(toks, ' ')) AS fp
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     // === training-data ops ===
     "dedup_exact" ->
@@ -503,8 +528,42 @@ object SparkEntry {
         |       (16 + octet_length(encode(text)) % 640)::BIGINT AS width,
         |       (16 + octet_length(encode(text)) % 480)::BIGINT AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // dedup_simhash, ann_lsh_topk, ann_centroid_assign, mm_extract:
-    // approximate / not SQL-expressible — rows-only check; exact ground
-    // truth asserted in OpsSpec.
+    // mm_extract's stubbed decode is deterministic arithmetic over the
+    // blob bytes (ASCII corpus ⇒ ord(char) = byte) — fully SQL-expressible;
+    // the every-10th-byte frame sample uses a constant generate_series
+    // (DuckDB 1.0 has no lateral series; bound 2000 steps ≫ max doc len/10).
+    "mm_extract" ->
+      """WITH cs AS (
+        |  SELECT d.doc_id, sum(ord(substr(d.text, 1 + g.gs * 10, 1)))::BIGINT AS frame_checksum
+        |  FROM documents d CROSS JOIN generate_series(0, 2000) g(gs)
+        |  WHERE 1 + g.gs * 10 <= length(d.text)
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, octet_length(encode(d.text))::BIGINT AS byte_len,
+        |       (16 + octet_length(encode(d.text)) % 640)::INT AS width,
+        |       (16 + octet_length(encode(d.text)) % 480)::INT AS height,
+        |       CASE WHEN length(d.text) > 0 THEN ord(substr(d.text, 1, 1)) ELSE 0 END::INT AS first_byte,
+        |       coalesce(cs.frame_checksum, 0)::BIGINT AS frame_checksum
+        |FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // ann_centroid_assign: per-label mean centroid (same double accumulation
+    // as the Scala mapGroups pass) + argmax cosine with lowest-label
+    // tie-break — plain SQL, same arithmetic shape as the cosine oracles.
+    "ann_centroid_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |c AS (SELECT label AS clabel, i, avg(v) AS cv FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |         sum(e.v * c.cv) AS dot, sum(e.v * e.v) AS nv, sum(c.cv * c.cv) AS nc
+        |  FROM e JOIN c USING (i) GROUP BY 1, 2, 3)
+        |SELECT vec_id, label, clabel::INT AS assigned
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY dot / (sqrt(nv) * sqrt(nc)) DESC, clabel ASC) = 1
+        |ORDER BY vec_id""".stripMargin,
+    // dedup_simhash, ann_lsh_topk: approximate, hash-seeded — not
+    // SQL-expressible; rows-only check, exact ground truth in OpsSpec.
   )
 }

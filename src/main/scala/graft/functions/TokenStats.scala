@@ -25,11 +25,15 @@ case class TokenStats(child: Expression, modeName: String) extends UnaryExpressi
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    TokenStats.eval(input.asInstanceOf[UTF8String], modeName)
+    TokenStats.evalTokenStats(input.asInstanceOf[UTF8String], modeName)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("modeName", modeName, "java.lang.String")
-    defineCodeGen(ctx, ev, c => s"graft.functions.TokenStats.eval($c, $m)")
+    // NOTE: must NOT be named `eval` — the class inherits eval(InternalRow)
+    // from Expression, so scalac emits no static forwarder for a companion
+    // `eval` (name clash) and Janino then fails to resolve the call,
+    // silently degrading every token_stats plan to interpreted execution.
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenStats.evalTokenStats($c, $m)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenStats =
@@ -57,7 +61,7 @@ object TokenStats {
     * Byte-level path (AnalyzerBytes): no java String materialization of the
     * content or the tokens — equivalence with Analyzer property-tested.
     */
-  def eval(s: UTF8String, modeName: String): InternalRow = {
+  def evalTokenStats(s: UTF8String, modeName: String): InternalRow = {
     val (terms, tfs, dl) = graft.analyze.AnalyzerBytes.termFreqs(s, modeName)
     val arr = new Array[Any](terms.length)
     var i = 0

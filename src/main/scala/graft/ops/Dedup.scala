@@ -28,18 +28,24 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
       .orderBy(col("digest"))
 
-  /** Word 3-gram shingles per doc, distinct. */
+  /** Word 3-gram shingles per doc, distinct. Narrow sliding window — one
+    * projection (filter empties → `transform` over an index `sequence` →
+    * explode), ZERO shuffles before the downstream distinct/LSH. The
+    * round-1 version built these with a 3-way self-join on (doc_id, pos):
+    * three full shuffles of the exploded token stream — a scale-killer.
+    * Semantics are identical: `[^a-z0-9]+` can only produce empty tokens at
+    * the array ends (interior separator runs merge), so dropping empties
+    * first and sliding over the remainder yields exactly the windows whose
+    * three members are all non-empty at consecutive original positions.
+    */
   def shingles(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
-        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val t1 = toks.as("a")
-    val t2 = toks.as("b")
-    val t3 = toks.as("c")
-    t1.join(t2, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .join(t3, col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
-      .select(col("a.doc_id").as("doc_id"),
-        concat_ws(" ", col("a.w"), col("b.w"), col("c.w")).as("sh"))
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    d.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .otherwise(typedLit(Seq.empty[String]))).as("sh"))
       .distinct()
   }
 

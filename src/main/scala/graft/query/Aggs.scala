@@ -42,23 +42,30 @@ object Aggs {
       .orderBy(col("event_id"))
 
   /** F5: significant_terms (JLH score) — foreground = lang 'en' docs,
-    * background = all docs; two groupBy passes + join, no custom agg
-    * (SURVEY.md §2 F5: no built-in, two-pass job).
+    * background = all docs. Single-pass: tokenize once, dedupe (doc, term)
+    * inside the aggregation (`count(DISTINCT ...)` over a conditional), and
+    * compute fg/bg as conditional counts in ONE groupBy — no self-join, no
+    * second tokenize pass, no separate count() actions (doc totals ride
+    * along as a 2-row broadcast-joined aggregate of the same token stream's
+    * per-doc firsts — computed from `documents` directly, which is a
+    * metadata-only count at scan level).
     */
   def significantTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val toks = docs.select(col("doc_id"), col("lang"),
-        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+    val toks = docs.select(col("doc_id"), col("lang") === "en",
+        explode(split(lower(col("text")), "[^a-z0-9]+")))
+      .toDF("doc_id", "is_fg", "term")
       .filter(col("term") =!= "")
-      .select(col("doc_id"), col("lang"), col("term")).distinct()
-    val fgTotal = docs.filter(col("lang") === "en").count().toDouble
-    val bgTotal = docs.count().toDouble
-    val fg = toks.filter(col("lang") === "en").groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("fg"))
-    val bg = toks.groupBy(col("term")).agg(count(lit(1)).cast("double").as("bg"))
-    fg.join(bg, "term")
-      .withColumn("fgp", col("fg") / lit(fgTotal))
-      .withColumn("bgp", col("bg") / lit(bgTotal))
+      .select(col("doc_id"), col("is_fg"), col("term")).distinct()
+    val perTerm = toks.groupBy(col("term")).agg(
+      count(lit(1)).cast("double").as("bg"),
+      count(when(col("is_fg"), 1)).cast("double").as("fg"))
+    val totals = docs.agg(
+      count(lit(1)).cast("double").as("bg_total"),
+      count(when(col("lang") === "en", 1)).cast("double").as("fg_total"))
+    perTerm.filter(col("fg") > 0).crossJoin(broadcast(totals))
+      .withColumn("fgp", col("fg") / col("fg_total"))
+      .withColumn("bgp", col("bg") / col("bg_total"))
       .withColumn("jlh", (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
       .select(col("term"), quantized(col("jlh") * 1000).as("jlh_q"))
       .orderBy(desc("jlh_q"), col("term"))
@@ -122,15 +129,57 @@ object Aggs {
     t(spark, sfDir, "orders")
       .agg(min(col("o_orderkey")).as("first_key"), max(col("o_orderkey")).as("last_key"))
 
-  /** D6: gap detection via lead window over the distinct key sequence —
-    * transliterated from the reference's SQL (db/ledger_header_row.go:111-126).
+  /** D6: gap detection over the key sequence (reference semantics:
+    * db/ledger_header_row.go:111-126's lead-window SQL). Scale-safe
+    * restatement — the naive `lead() OVER (ORDER BY seq)` plans a
+    * single-partition global sort (every distinct key through one task).
+    * Instead: ONE range shuffle, then
+    *   1. per-partition streaming scan finds interior gaps (duplicates
+    *      skipped inline — no separate distinct shuffle), and
+    *   2. partition-boundary gaps come from a tiny (pid, min, max)
+    *      aggregate (#partitions rows, map-side combined) joined on the
+    *      driver — the same two-pass pattern as IndexBuilder.assignDocIds.
+    * Range partitioning puts equal keys in one partition, so cross-boundary
+    * duplicates cannot occur; the result is identical to the window form.
     */
   def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
-    val keys = t(spark, sfDir, "lineitem").select(col("l_orderkey").as("seq")).distinct()
-    val w = Window.orderBy(col("seq"))
-    keys.withColumn("nxt", lead(col("seq"), 1).over(w))
-      .filter(col("nxt").isNotNull && col("nxt") =!= col("seq") + 1)
-      .select((col("seq") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("seq"))
+      .repartitionByRange(parts, col("seq"))
+      .sortWithinPartitions(col("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny job: per-partition key bounds (≤ one row per partition)
+    val bounds = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min(col("seq")).as("mn"), max(col("seq")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val boundaryGaps = bounds.sliding(2).collect {
+      case Array((_, _, prevMax), (_, nextMin, _)) if nextMin > prevMax + 1 =>
+        (prevMax + 1, nextMin - 1)
+    }.toSeq
+    val interior = sorted.as[Long].mapPartitions { it =>
+      new Iterator[(Long, Long)] {
+        private var prev = if (it.hasNext) it.next() else Long.MinValue
+        private var nextGap: (Long, Long) = null
+        private def seek(): Unit = {
+          while (nextGap == null && it.hasNext) {
+            val k = it.next()
+            if (k > prev + 1) nextGap = (prev + 1, k - 1)
+            prev = k
+          }
+        }
+        def hasNext: Boolean = { seek(); nextGap != null }
+        def next(): (Long, Long) = { seek(); val g = nextGap; nextGap = null; g }
+      }
+    }.toDF("gap_start", "gap_end")
+    // `sorted` stays persisted until the returned plan is consumed; the
+    // ContextCleaner unpersists it once unreferenced (eager unpersist here
+    // would evict before the lazy interior job runs).
+    interior
+      .union(spark.createDataset(boundaryGaps).toDF("gap_start", "gap_end"))
       .orderBy(col("gap_start"))
   }
 

@@ -29,6 +29,35 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("token_stats + code_tokens: generated code COMPILES (no interpreted fallback)") {
+    // Regression guard for the round-1 defect: doGenCode referenced a
+    // companion method shadowed by Expression.eval, Janino failed to resolve
+    // it, and every plan silently ran interpreted (78 ERROR CodeGenerator
+    // lines per test run). codegen.fallback=false turns that silent
+    // degradation into a test failure; factoryMode=CODEGEN_ONLY does the
+    // same for non-wholestage projections.
+    import spark.implicits._
+    graft.functions.TokenStats.register(spark)
+    CodeTokens.register(spark)
+    val conf = spark.sessionState.conf
+    val prevFallback = conf.getConfString("spark.sql.codegen.fallback", "true")
+    val prevFactory = conf.getConfString("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.setConfString("spark.sql.codegen.fallback", "false")
+    conf.setConfString("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq("spark merge window", "fooBar HTTPServer baz baz").toDF("content")
+      val out = df.select(
+          call_function("token_stats", col("content"), lit("simple")).as("ts"),
+          CodeTokens.code_tokens(spark, col("content")).as("ct"))
+        .select(col("ts.dl").as("dl"), size(col("ct")).as("n"))
+        .as[(Int, Int)].collect().toSet
+      assert(out == Set((3, 3), (4, 6)))
+    } finally {
+      conf.setConfString("spark.sql.codegen.fallback", prevFallback)
+      conf.setConfString("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("flagship entry: builds sf0.001 index, returns ranked rows (driver smoke)") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 10)
