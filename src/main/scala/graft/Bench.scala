@@ -142,6 +142,13 @@ object Bench {
       results += "bm25_p50" -> pct(bm25Lat.toSeq, 0.50)
       results += "bm25_p95" -> pct(bm25Lat.toSeq, 0.95)
 
+      // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
+      // the adaptive coordinator path masks it at this scale, so measure it
+      // explicitly — this is the plan that runs on a hot term at 100 TB
+      val (_, distSecs) = timed(
+        Searcher.topK(spark, h, "the batch", 10, driverPathMaxPostings = 0L).collect())
+      results += "bm25_distributed" -> distSecs
+
       val headline = Seq("agg_date_histogram", "agg_sig_terms", "join_revenue",
         "win_gap_detect", "dedup_minhash_lsh", "ann_cosine_topk", "text_quality")
       for (name <- headline) {

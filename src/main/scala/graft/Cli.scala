@@ -12,9 +12,11 @@ import graft.streaming.StreamingIngest
   * engine, so a user of the reference can run the same operations:
   *
   *   graft.Cli create-index <indexDir> [--force]
-  *   graft.Cli export <srcDir> <indexDir> [--mode simple|code] [--salts N] [--partitions N]
+  *   graft.Cli export <srcDir> <indexDir> [--mode simple|code|trigram]
+  *             [--salts N] [--partitions N] [--dry-run] [--verbose]
   *   graft.Cli ingest <srcDir> <indexDir> <checkpointDir> [--seconds S]
   *   graft.Cli stats <indexDir>
+  *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
   *   graft.Cli search <indexDir> <k> <query terms...> [--and]
   *
   * `export` accepts either a directory containing `documents.parquet`
@@ -69,29 +71,70 @@ object Cli {
         case "trigram" => Analyzer.Trigram(Analyzer.Simple)
         case _ => Analyzer.Simple
       }
-      val cfg = IndexBuilder.Config(
-        salts = opt(rest, "--salts", "8").toInt,
-        partitions = opt(rest, "--partitions", "0").toInt,
-        mode = mode)
-      val h = IndexBuilder.build(spark, corpusOf(spark, srcDir), indexDir, cfg)
-      val st = h.stats(spark)
-      println(s"indexed n=${st.n} docs, avgdl=${st.avgdl}, tokens=${st.totalTokens} -> $indexDir")
+      if (flag(rest, "--verbose")) sys.props("graft.timing") = "1"
+      val corpus = corpusOf(spark, srcDir)
+      if (flag(rest, "--dry-run")) {
+        // what WOULD be written, committing nothing (config/main.go:104-107,
+        // export.go:77-87 analog)
+        import spark.implicits._
+        val byLang = corpus.groupByKey(_.lang).count().collect().sortBy(_._1)
+        val n = byLang.map(_._2).sum
+        println(s"dry-run: would index n=$n docs (mode=${mode.name}) -> $indexDir")
+        byLang.foreach { case (l, c) => println(f"  $l%-8s $c%10d docs") }
+        println(s"  stages: docmeta, stats, postings, termstats (+ lineage, analyzer_mode)")
+      } else {
+        val cfg = IndexBuilder.Config(
+          salts = opt(rest, "--salts", "8").toInt,
+          partitions = opt(rest, "--partitions", "0").toInt,
+          mode = mode)
+        val h = IndexBuilder.build(spark, corpus, indexDir, cfg)
+        val st = h.stats(spark)
+        println(s"indexed n=${st.n} docs, avgdl=${st.avgdl}, tokens=${st.totalTokens} -> $indexDir")
+      }
 
     case "ingest" :: srcDir :: indexDir :: ckp :: rest =>
       val secs = opt(rest, "--seconds", "10").toInt
-      val avgdl = try IndexBuilder.Handle(indexDir, Analyzer.Simple).stats(spark).avgdl
+      val avgdl = try IndexBuilder.openHandle(indexDir).stats(spark).avgdl
         catch { case _: Throwable => 80.0 }
       val q = StreamingIngest.startIndexAppend(spark, srcDir, indexDir, ckp, avgdl)
       q.awaitTermination(secs * 1000L)
       q.stop()
       println(s"ingest stopped; segments under $indexDir/ingest_segments")
 
-    case "stats" :: indexDir :: _ =>
-      // lineage report — the `stats`/`es-stats` reconciliation analog
-      // (commands/stats.go:20-67): per-stage row counts, docId coverage,
-      // byte volume.
+    case "reconcile" :: indexDir :: _ =>
+      // TWO-SIDED reconciliation (the es-stats analog, commands/stats.go:
+      // 44-64: source ranges vs query-side counts): recount what was
+      // actually WRITTEN — tables and streamed segments — and compare to
+      // the build-side lineage claims. Exit nonzero on any mismatch.
+      val h = IndexBuilder.openHandle(indexDir)
       import spark.implicits._
-      val lin = IndexBuilder.Handle(indexDir, Analyzer.Simple).lineage(spark)
+      val lin = h.lineage(spark).collect().groupBy(_.stage)
+      var bad = 0
+      println(f"${"stage"}%-10s ${"lineage"}%12s ${"written"}%12s  status")
+      for (stage <- Seq("docmeta", "stats", "postings", "termstats")) {
+        val expected = lin.get(stage).map(_.map(_.rows).sum).getOrElse(-1L)
+        val actual =
+          try spark.read.parquet(s"$indexDir/$stage").count()
+          catch { case _: Throwable => -2L }
+        val ok = expected == actual
+        if (!ok) bad += 1
+        println(f"$stage%-10s $expected%12d $actual%12d  ${if (ok) "OK" else "MISMATCH"}")
+      }
+      for (seg <- h.segmentDirs) {
+        val st = spark.read.parquet(s"$seg/stats").as[graft.index.IndexStats].head()
+        val actual = spark.read.parquet(s"$seg/docmeta").count()
+        val ok = st.n == actual
+        if (!ok) bad += 1
+        val name = new java.io.File(seg).getName
+        println(f"$name%-10s ${st.n}%12d $actual%12d  ${if (ok) "OK" else "MISMATCH"}")
+      }
+      require(bad == 0, s"$bad stage(s) failed reconciliation")
+
+    case "stats" :: indexDir :: _ =>
+      // lineage report — the `stats` analog (commands/stats.go:20-67):
+      // per-stage row counts, docId coverage, byte volume.
+      import spark.implicits._
+      val lin = IndexBuilder.openHandle(indexDir).lineage(spark)
         .groupByKey(_.stage)
         .mapGroups { (stage, it) =>
           val rows = it.toSeq
@@ -107,16 +150,19 @@ object Cli {
     case "search" :: indexDir :: k :: rest =>
       val conj = flag(rest, "--and")
       val terms = rest.filterNot(_.startsWith("--")).mkString(" ")
-      // infer analyzer mode from how the index was built? default simple
-      val h = IndexBuilder.Handle(indexDir, Analyzer.Simple)
+      // analyzer mode persisted by the build (analyzer_mode file) — a query
+      // against a --mode code/trigram index tokenizes the same way the
+      // index did
+      val h = IndexBuilder.openHandle(indexDir)
       Searcher.topK(spark, h, terms, k.toInt, conj).collect()
         .foreach(hit => println(f"${hit.docId}%12d  ${hit.score}%.6f"))
 
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: create-index <dir> [--force] | export <src> <dir> [--mode m] |
+           |usage: create-index <dir> [--force] |
+           |       export <src> <dir> [--mode m] [--dry-run] [--verbose] |
            |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
-           |       search <dir> <k> <terms...> [--and]""".stripMargin)
+           |       reconcile <dir> | search <dir> <k> <terms...> [--and]""".stripMargin)
   }
 }

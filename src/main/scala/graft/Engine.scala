@@ -13,9 +13,23 @@ import graft.index.IndexBuilder
   */
 object Engine {
   /** Bump to invalidate on-disk index layouts when the format changes. */
-  val FormatVersion = "v1"
+  val FormatVersion = "v2"
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, IndexBuilder.Handle]
+  // Handles are cheap, but building is not — memoize per (session, key).
+  // Weak keying: a stopped session's handles vanish with it instead of
+  // leaking (Bench creates and stops a dozen sessions per run).
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, IndexBuilder.Handle]]()
+
+  private def sessionCache(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, IndexBuilder.Handle]
+      cache.put(spark, m)
+    }
+    m
+  }
 
   def indexDirFor(sfDir: String, mode: Analyzer.Mode): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -24,10 +38,36 @@ object Engine {
 
   def indexFor(spark: SparkSession, sfDir: String,
                mode: Analyzer.Mode = Analyzer.Simple): IndexBuilder.Handle =
-    cache.getOrElseUpdate(s"$sfDir|${mode.name}", {
+    sessionCache(spark).getOrElseUpdate(s"$sfDir|${mode.name}", {
       IndexBuilder.build(spark, Corpus.fromDocuments(spark, sfDir),
         indexDirFor(sfDir, mode), IndexBuilder.Config(salts = 8, mode = mode))
     })
+
+  /** Batch index over 80% of the corpus + ONE live-ingested segment holding
+    * the rest (doc_id % 5 == 0), appended through the streaming segment
+    * writer — the searchable-live-ingest fixture (reference semantics:
+    * commands/ingest.go feeds the same indices `_search` reads). Queries
+    * over the returned handle see all docs with exact union stats, so
+    * results must equal a single index over the full corpus — which is
+    * precisely what the driver's full-corpus oracle checks.
+    */
+  def streamedIndexFor(spark: SparkSession, sfDir: String): IndexBuilder.Handle = {
+    import spark.implicits._
+    sessionCache(spark).getOrElseUpdate(s"$sfDir|streamed", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index/$FormatVersion-streamed-$key"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def corpusOf(df: DataFrame) = Corpus.fromDocumentsDf(spark, df)
+      val h = IndexBuilder.build(spark, corpusOf(docs.filter($"doc_id" % 5 =!= 0)), dir)
+      if (h.segmentDirs.isEmpty) {
+        graft.streaming.StreamingIngest.appendSegment(
+          spark, corpusOf(docs.filter($"doc_id" % 5 === 0)), batchId = 0L,
+          indexDir = dir, avgdl = h.stats(spark).avgdl, salts = 4,
+          baseDocId = 1L << 40, mode = h.mode)
+      }
+      h
+    })
+  }
 
   /** Quantize a double score to a long at 4 decimals — identical float ops
     * (`floor(x*10000 + 0.5)`) in Spark and the DuckDB oracle, so hashing
@@ -38,12 +78,13 @@ object Engine {
     floor(c * lit(10000.0) + lit(0.5)).cast("long")
 
   /** BM25 hits mapped back to the stand-in table's doc_id (docmeta.path is
-    * `lang/doc_id` per the FIXTURES.md §2 corpus mapping).
+    * `lang/doc_id` per the FIXTURES.md §2 corpus mapping); reads batch ∪
+    * streamed docmeta so live-ingested hits resolve too.
     */
   def hitsAsDocIds(spark: SparkSession, h: IndexBuilder.Handle, hits: DataFrame): DataFrame = {
     // No broadcast hint: hits ranges from top-k (tiny) to exhaustive (~all
     // docs); AQE picks broadcast vs shuffle join from runtime sizes.
-    val dm = h.docmeta(spark).toDF()
+    val dm = h.docmetaAll(spark).toDF()
     hits.join(dm.select(col("docId"),
         element_at(split(col("path"), "/"), 2).cast("long").as("doc_id")), "docId")
       .select(col("doc_id"), quantized(col("score")).as("score_q"))

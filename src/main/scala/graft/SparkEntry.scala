@@ -166,6 +166,16 @@ object SparkEntry {
       Engine.hitsAsDocIds(s, h,
         Searcher.topK(s, h, "windo", Int.MaxValue, conjunctive = true).toDF())
     },
+    // live ingest searchability (SURVEY §2 G1): batch index over 80% of the
+    // corpus + one streamed segment (built through the actual streaming
+    // segment writer) holding the rest; the query runs over the union with
+    // refreshed N/avgdl/df, so the result must equal — and is checked
+    // against — the full-corpus oracle.
+    "ft_streamed_search" -> { (s, dir) =>
+      val h = Engine.streamedIndexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topK(s, h, "stream data", Int.MaxValue).toDF())
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap production
     // pattern when the index has no positions; positions are future work)
@@ -264,6 +274,8 @@ object SparkEntry {
       s"""WITH $toksCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term ORDER BY term""".stripMargin,
     "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
+    // the streamed-union search must equal BM25 over the FULL corpus
+    "ft_streamed_search" -> bm25Sql(Seq("data", "stream"), conjunctive = false),
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q

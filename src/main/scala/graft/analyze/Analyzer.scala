@@ -31,6 +31,14 @@ object Analyzer extends Serializable {
   /** Character trigrams layered over a base token mode. */
   final case class Trigram(base: Mode) extends Mode { val name = s"tri-${base.name}" }
 
+  /** Inverse of Mode.name (used to read a persisted index's analyzer back). */
+  def modeOf(name: String): Mode = name match {
+    case "code" => Code
+    case "tri-simple" => Trigram(Simple)
+    case "tri-code" => Trigram(Code)
+    case _ => Simple
+  }
+
   /** Simple mode: `lower(text)` split on `[^a-z0-9]+`, empties dropped —
     * exactly the SQL tokenizer in SparkEntry.oracleSql, implemented as a
     * single char scan (the hot path runs per document per stage; regex

@@ -50,12 +50,7 @@ object TokenStats {
       nullable = false),
     StructField("dl", IntegerType, nullable = false)))
 
-  def modeOf(name: String): Analyzer.Mode = name match {
-    case "code" => Analyzer.Code
-    case "tri-simple" => Analyzer.Trigram(Analyzer.Simple)
-    case "tri-code" => Analyzer.Trigram(Analyzer.Code)
-    case _ => Analyzer.Simple
-  }
+  def modeOf(name: String): Analyzer.Mode = Analyzer.modeOf(name)
 
   /** Static entry point shared by interpreted eval and generated code.
     * Byte-level path (AnalyzerBytes): no java String materialization of the

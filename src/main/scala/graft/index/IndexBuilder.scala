@@ -36,11 +36,20 @@ import graft.query.Bm25
   */
 object IndexBuilder {
 
-  /** Tuning knobs. `salts` bounds per-reducer hot-term list size;
+  /** Tuning knobs. `salts` is the MINIMUM salt count; the effective count
+    * grows with corpus size (one salt per ~`docsPerSalt` docs, capped) so a
+    * hot term's per-reducer list — and the per-group WAND working set — is
+    * bounded by docsPerSalt postings regardless of N: at 1000 executors a
+    * hot-term query gets N/docsPerSalt-way parallelism, not `salts`-way.
     * `partitions` is the shuffle width (set ≈ cluster cores).
     */
   final case class Config(salts: Int = 8, partitions: Int = 0,
-                          mode: Analyzer.Mode = Analyzer.Simple)
+                          mode: Analyzer.Mode = Analyzer.Simple,
+                          docsPerSalt: Long = 250000L)
+
+  def effectiveSalts(cfg: Config, n: Long): Int =
+    math.max(cfg.salts,
+      math.min((n + cfg.docsPerSalt - 1) / math.max(cfg.docsPerSalt, 1L), 65536L).toInt)
 
   final case class Handle(dir: String, mode: Analyzer.Mode) {
     def docmeta(spark: SparkSession): Dataset[DocMeta] = {
@@ -63,6 +72,93 @@ object IndexBuilder {
       import spark.implicits._
       spark.read.parquet(s"$dir/lineage/*").as[LineageRow]
     }
+
+    // ---- streamed segments (live ingest, StreamingIngest.appendSegment) --
+
+    /** Completed streamed segments (marker-gated: a half-written replayed
+      * batch is invisible until its _DONE lands).
+      */
+    def segmentDirs: Seq[String] = {
+      val root = new java.io.File(s"$dir/ingest_segments")
+      if (!root.isDirectory) Seq.empty
+      else root.listFiles()
+        .filter(d => d.isDirectory && new java.io.File(d, "_DONE").exists())
+        .map(_.getPath).sorted.toSeq
+    }
+
+    /** Fingerprint of the searchable segment set — cache keys include it so
+      * a new segment invalidates cached postings/stats.
+      */
+    def segmentFingerprint: String = {
+      val s = segmentDirs
+      s"${s.size}:${s.hashCode.toHexString}"
+    }
+
+    /** Batch postings ∪ all completed streamed segments' postings — ONE
+      * multi-path parquet read (same schema; segment salt ids live in a
+      * disjoint namespace, so per-salt groups stay disjoint docId ranges).
+      */
+    def postingsAll(spark: SparkSession): Dataset[PostingBlock] = {
+      import spark.implicits._
+      val paths = s"$dir/postings" +: segmentDirs.map(_ + "/blocks")
+      spark.read.parquet(paths: _*).as[PostingBlock]
+    }
+
+    /** Batch docmeta ∪ streamed segments' docmeta. */
+    def docmetaAll(spark: SparkSession): Dataset[DocMeta] = {
+      import spark.implicits._
+      val paths = s"$dir/docmeta" +: segmentDirs.map(_ + "/docmeta")
+      spark.read.parquet(paths: _*).as[DocMeta]
+    }
+
+    /** Live corpus stats over batch + streamed segments, plus the WAND
+      * bound factor. Each source's blocks store maxImpact computed with the
+      * avgdl at ITS build time; the live query avgdl differs once segments
+      * arrive. impact(tf,dl,a) is monotone in a with ratio ≤ max(1, a'/a)
+      * (the dl term scales by a/a'), so multiplying every stored bound by
+      * max(1, liveAvgdl / min(buildAvgdl)) keeps block-max WAND admissible
+      * (rank-exact, marginally less pruning); exact scoring always uses the
+      * live avgdl.
+      */
+    def liveStats(spark: SparkSession): (IndexStats, Double) = {
+      import spark.implicits._
+      val base = stats(spark)
+      val segs = segmentDirs
+      if (segs.isEmpty) (base, 1.0)
+      else {
+        val segStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
+          .as[IndexStats].collect()
+        val n = base.n + segStats.map(_.n).sum
+        val tok = base.totalTokens + segStats.map(_.totalTokens).sum
+        val avgdl = tok.toDouble / n.toDouble
+        val minBuild = (base.avgdl +: segStats.map(_.avgdl)).min
+        (IndexStats(n, avgdl, tok), math.max(1.0, avgdl / minBuild))
+      }
+    }
+
+    /** Per-term df over batch + segments (query terms only; tiny). */
+    def dfFor(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val paths = s"$dir/termstats" +: segmentDirs.map(_ + "/termstats")
+      spark.read.parquet(paths: _*).as[TermStat]
+        .filter(col("term").isin(terms: _*))
+        .collect().groupBy(_.term).map { case (t, rows) => t -> rows.map(_.df).sum }
+    }
+  }
+
+  /** Open an existing index, reading back the analyzer mode persisted by
+    * `build` (reference analog: the index carries its analysis config the
+    * way an ES index carries its mappings, es/indices.go).
+    */
+  def openHandle(dir: String): Handle = {
+    val f = new java.io.File(s"$dir/analyzer_mode")
+    val mode =
+      if (f.exists())
+        Analyzer.modeOf(new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else Analyzer.Simple
+    Handle(dir, mode)
   }
 
   /** Id-assigned corpus (DataFrame: docId, repo, path, commit, lang,
@@ -116,9 +212,12 @@ object IndexBuilder {
     * lineage validates are skipped; otherwise recomputed and atomically
     * replaced (parquet overwrite = write-then-swap per directory).
     */
-  /** Stage timing to stderr when GRAFT_TIMING=1 (perf triage aid). */
+  /** Stage timing to stderr when GRAFT_TIMING=1 or -Dgraft.timing=1 (the
+    * CLI's `export --verbose` sets the property).
+    */
   private def timedStage[T](name: String)(f: => T): T = {
-    if (sys.env.get("GRAFT_TIMING").contains("1")) {
+    if (sys.env.get("GRAFT_TIMING").contains("1") ||
+        sys.props.get("graft.timing").contains("1")) {
       val t0 = System.nanoTime()
       val r = f
       System.err.println(f"[graft-timing] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
@@ -134,6 +233,10 @@ object IndexBuilder {
     val mode = cfg.mode
     val fs = new java.io.File(dir)
     fs.mkdirs()
+    // persist the analyzer mode so readers (Cli search/stats, openHandle)
+    // never have to guess how the index was tokenized
+    java.nio.file.Files.write(new java.io.File(dir, "analyzer_mode").toPath,
+      mode.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // docmeta and postings both need the id-assigned corpus; share one
     // materialization (the sorted-cache inside assignDocIds) instead of
@@ -185,7 +288,7 @@ object IndexBuilder {
     val st = spark.read.parquet(s"$dir/stats").as[IndexStats].head()
     val n = st.n
     val avgdl = st.avgdl
-    val salts = cfg.salts
+    val salts = effectiveSalts(cfg, n)
 
     // ---- stage 3: postings ------------------------------------------------
     if (!stageComplete(spark, dir, "postings")) timedStage("postings") {
@@ -265,7 +368,7 @@ object IndexBuilder {
   /** One-pass block builder over a (term, salt, docId)-sorted partition.
     * Pure streaming: holds at most one block (128 postings) in memory.
     */
-  private def buildBlocks(it: Iterator[TermDoc], avgdl: Double): Iterator[PostingBlock] =
+  private[graft] def buildBlocks(it: Iterator[TermDoc], avgdl: Double): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val in = it.buffered
       private var blockIdxFor: (String, Int) = null

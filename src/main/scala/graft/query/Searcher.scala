@@ -22,23 +22,44 @@ object Searcher {
 
   final case class QueryTermStat(term: String, idf: Double)
 
-  // (N, avgdl) per index dir — constant once built; memoized to avoid one
-  // Spark job per query
-  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.IndexStats]
+  // Caches are keyed per SparkSession (weakly — a stopped session's entries
+  // become unreachable and are GC-collected, never served stale to a new
+  // session: Datasets are bound to the session that created them) and per
+  // (dir, segment fingerprint): a newly ingested segment changes the
+  // fingerprint and invalidates.
+  private val statsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (graft.index.IndexStats, Double)]]()
+  private val postingsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Dataset[PostingBlock]]]()
 
-  // postings kept hot per index dir (columnar cache, spills under pressure)
-  // — a search engine keeps its index resident; repeated queries then pay
+  private def perSession[T](cache: java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, T]], spark: SparkSession) =
+    cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty[String, T]; cache.put(spark, m) }
+      m
+    }
+
+  // postings (batch ∪ completed streamed segments) kept hot per index —
+  // a search engine keeps its index resident; repeated queries then pay
   // only the filter + WAND, not the parquet scan
-  private val postingsCache = scala.collection.concurrent.TrieMap.empty[String, Dataset[PostingBlock]]
+  private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle,
+                          fp: String): Dataset[PostingBlock] =
+    perSession(postingsCache, spark)
+      .getOrElseUpdate(s"${h.dir}|$fp", h.postingsAll(spark).cache())
 
-  private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle): Dataset[PostingBlock] =
-    postingsCache.getOrElseUpdate(h.dir, h.postings(spark).cache())
+  private def liveStats(spark: SparkSession, h: IndexBuilder.Handle,
+                        fp: String): (graft.index.IndexStats, Double) =
+    perSession(statsCache, spark)
+      .getOrElseUpdate(s"${h.dir}|$fp", h.liveStats(spark))
 
   /** Per-(term,salt) scorer construction from that group's blocks. */
   private def scorersFor(blocks: Seq[PostingBlock], stats: Map[String, Double],
-                         avgdl: Double): Array[Wand.TermScorer] =
+                         avgdl: Double, boundFactor: Double): Array[Wand.TermScorer] =
     blocks.groupBy(_.term).iterator.map { case (t, bs) =>
-      new Wand.TermScorer(t, bs.sortBy(_.blockIdx).toArray, stats(t), avgdl)
+      new Wand.TermScorer(t, bs.sortBy(_.blockIdx).toArray, stats(t), avgdl, boundFactor)
     }.toArray.sortBy(_.term)
 
   /** Σdf below which the coordinator executes the query itself over
@@ -51,9 +72,10 @@ object Searcher {
     * ranges, so per-salt results merge without re-scoring).
     */
   private def saltWand(blocks: Iterable[PostingBlock], idfs: Map[String, Double],
-                       avgdl: Double, k: Int, conj: Boolean, nTerms: Int): Iterator[(Long, Double)] =
+                       avgdl: Double, k: Int, conj: Boolean, nTerms: Int,
+                       boundFactor: Double = 1.0): Iterator[(Long, Double)] =
     blocks.groupBy(_.salt).iterator.flatMap { case (_, bs) =>
-      val scorers = scorersFor(bs.toSeq, idfs, avgdl)
+      val scorers = scorersFor(bs.toSeq, idfs, avgdl, boundFactor)
       if (conj) {
         if (scorers.length < nTerms) Iterator.empty
         else {
@@ -82,22 +104,22 @@ object Searcher {
            driverPathMaxPostings: Long = DriverPathMaxPostings): Dataset[Hit] = {
     import spark.implicits._
     val terms = Analyzer.tokens(query, h.mode).distinct.sorted
-    val st = statsCache.getOrElseUpdate(h.dir, h.stats(spark))
+    val fp = h.segmentFingerprint
+    val (st, boundFactor) = liveStats(spark, h, fp)
     val n = st.n
     val avgdl = st.avgdl
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    // df per query term — collected (tiny: |q| rows) then broadcast to tasks
-    val dfs: Map[String, Long] = h.termstats(spark)
-      .filter($"term".isin(terms: _*))
-      .collect().map(ts => ts.term -> ts.df).toMap
+    // df per query term over batch ∪ segments — collected (tiny) then
+    // broadcast to tasks
+    val dfs: Map[String, Long] = h.dfFor(spark, terms)
     val idfs: Map[String, Double] =
       terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
     val conj = conjunctive
     val nTerms = terms.length
-    val matching = hotPostings(spark, h).filter($"term".isin(terms: _*))
+    val matching = hotPostings(spark, h, fp).filter($"term".isin(terms: _*))
 
     if (dfs.values.sum <= driverPathMaxPostings) {
-      val hits = saltWand(matching.collect(), idfs, avgdl, k, conj, nTerms)
+      val hits = saltWand(matching.collect(), idfs, avgdl, k, conj, nTerms, boundFactor)
         .toArray.sortBy { case (d, s) => (-s, d) }
       val top = if (k == Int.MaxValue) hits else hits.take(k)
       spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
@@ -106,7 +128,11 @@ object Searcher {
       val perSalt: Dataset[Hit] = matching
         .groupByKey(_.salt)
         .flatMapGroups { (_, it) =>
-          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms)
+          // one group = one salt = one disjoint docId range; materializing
+          // it holds ≤ |query terms| · docsPerSalt postings (salt count
+          // scales with N via IndexBuilder.effectiveSalts, so this bound —
+          // and the query's parallelism — is set by config, not corpus size)
+          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms, boundFactor)
             .map { case (d, s) => Hit(d, s) }
         }
       // global merge: (score desc, docId asc); Catalyst plans this as
@@ -116,10 +142,12 @@ object Searcher {
     }
   }
 
-  /** Exact boolean term lookup (F1/F11): docIds containing `term`. */
+  /** Exact boolean term lookup (F1/F11): docIds containing `term`, over
+    * batch ∪ streamed segments.
+    */
   def termLookup(spark: SparkSession, h: IndexBuilder.Handle, term: String): DataFrame = {
     import spark.implicits._
-    h.postings(spark)
+    h.postingsAll(spark)
       .filter($"term" === term)
       .flatMap { b =>
         graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId).iterator

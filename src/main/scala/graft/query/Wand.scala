@@ -22,16 +22,25 @@ object Wand {
 
   /** Streaming cursor over one term's posting blocks (sorted by blockIdx,
     * docIds ascending across blocks). Decodes one block at a time.
+    *
+    * `boundFactor` compensates for stale stored bounds: blocks persist
+    * maxImpact computed with their build-time avgdl; when live-ingested
+    * segments shift the corpus avgdl, impact grows by at most
+    * liveAvgdl/buildAvgdl (see Handle.liveStats), so scaling every bound by
+    * that factor keeps WAND pruning admissible while `avgdl` (the live
+    * value) keeps exact scoring correct.
     */
   final class TermScorer(val term: String, blocks: Array[PostingBlock],
-                         val idf: Double, avgdl: Double) {
+                         val idf: Double, avgdl: Double,
+                         boundFactor: Double = 1.0) {
     private var bi = 0 // current block
     private var i = 0 // position within decoded block
     private var docs: Array[Long] = _
     private var tfs: Array[Int] = _
     private var dls: Array[Int] = _
     var curDoc: Long = -1L
-    val maxScore: Double = idf * blocks.iterator.map(_.maxImpact).foldLeft(0.0)(math.max)
+    val maxScore: Double =
+      idf * boundFactor * blocks.iterator.map(_.maxImpact).foldLeft(0.0)(math.max)
 
     loadBlock()
     advanceInBlock()
@@ -59,7 +68,7 @@ object Wand {
       * block — the block-max refinement.
       */
     def currentBlockMax: Double =
-      if (bi < blocks.length) idf * blocks(bi).maxImpact else 0.0
+      if (bi < blocks.length) idf * boundFactor * blocks(bi).maxImpact else 0.0
 
     /** Last docId of the current block (skip boundary). */
     def currentBlockLast: Long =

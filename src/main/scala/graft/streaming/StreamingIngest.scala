@@ -4,26 +4,41 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.analyze.Analyzer
-import graft.index.{Codec, CorpusDoc, PostingBlock}
-import graft.query.Bm25
+import graft.index.{CorpusDoc, IndexBuilder, IndexStats}
 
 /** Live ingest (reference: `ingest` command, commands/ingest.go:22-54) —
-  * the Go side is a 1-second poll loop with no checkpoint, no watermark,
-  * and at-least-once duplicates on restart (its bulk path drops `_id`,
-  * SURVEY.md §1.2). Re-expressed Spark-first as Structured Streaming:
+  * the Go side is a 1-second poll loop whose whole point is that ingested
+  * ledgers are IMMEDIATELY visible to `_search` (it feeds the same indices
+  * the query DSL reads, es/adapter.go:44-65). Re-expressed Spark-first as
+  * Structured Streaming:
   *
-  *   readStream(corpus dir) → tokenize → per-batch posting-segment append
-  *   with checkpointed offsets (exactly-once per micro-batch file source),
-  *   plus a windowed-aggregation live metrics stream (the `stats` analog).
+  *   readStream(corpus dir) → tokenize → per-batch posting SEGMENT
+  *   (blocks + docmeta + stats + termstats, the same shapes the batch
+  *   index uses) → Searcher reads batch ∪ segments uniformly
+  *   (IndexBuilder.Handle.postingsAll/liveStats/dfFor).
   *
-  * Segment model: each micro-batch appends `postings/ingest=<batchId>/`
-  * blocks keyed by (term, salt) — the same PostingBlock format the batch
-  * index uses, so the query engine reads batch + streamed segments
-  * uniformly. docIds for streamed docs are offset into a reserved range
-  * per batch (baseDocId + batchId·capacity) — deterministic given the
-  * batch contents, and disjoint from the batch index's dense ranks.
+  * Exactly-once: the file source checkpoints offsets, and the segment write
+  * is idempotent BY BATCH ID — each batch overwrites its own deterministic
+  * `ingest_segments/batch=<id>` directory and commits with a _DONE marker
+  * written last. foreachBatch is at-least-once; a replayed batch either
+  * sees its marker and skips, or re-overwrites the same directory with the
+  * same deterministic contents (docIds are dense ranks from
+  * IndexBuilder.assignDocIds — a pure function of the batch data). Readers
+  * ignore marker-less segments, so a half-written replay is never visible.
+  *
+  * Salt invariant: the query engine's per-salt WAND merge needs every salt
+  * id to be a disjoint docId range (Searcher.scala). Streamed docIds live
+  * in a reserved range (base + batchId·2^20 + rank) and each batch's salts
+  * are docId-range buckets of that range, numbered in a namespace disjoint
+  * from the batch index's ([SegmentSaltBase + batchId·salts, …)) — so the
+  * existing group-by-salt top-k merge is correct over the union unchanged.
   */
 object StreamingIngest {
+
+  /** Segment salt ids start here; batch-index salts are far below
+    * (effectiveSalts caps at 65536).
+    */
+  val SegmentSaltBase: Int = 1 << 20
 
   /** Streamed corpus source: parquet files arriving under `srcDir` with the
     * corpus schema. maxFilesPerTrigger=1 mirrors the reference's
@@ -38,71 +53,93 @@ object StreamingIngest {
       .as[CorpusDoc]
   }
 
-  /** Start the incremental index-append stream. Each micro-batch builds
-    * posting blocks for its documents and appends them as a new segment;
-    * offsets checkpoint to `checkpointDir`, so restart resumes exactly
-    * where it left off — strictly stronger than the reference's
-    * start-at-last-ledger heuristic (ingest.go:56-78, INGEST_GAP).
+  /** Start the incremental index-append stream. Each micro-batch builds a
+    * posting segment; offsets checkpoint to `checkpointDir`, so restart
+    * resumes exactly where it left off — strictly stronger than the
+    * reference's start-at-last-ledger heuristic (ingest.go:56-78,
+    * INGEST_GAP). The segment analyzer mode follows the base index's
+    * persisted mode so streamed and batch postings tokenize identically.
     */
   def startIndexAppend(spark: SparkSession, srcDir: String, indexDir: String,
                        checkpointDir: String, avgdl: Double, salts: Int = 4,
                        baseDocId: Long = 1L << 40): StreamingQuery = {
-    import spark.implicits._
+    val mode = IndexBuilder.openHandle(indexDir).mode
     source(spark, srcDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second")) // reference poll cadence
       .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-        appendSegment(spark, batch, batchId, indexDir, avgdl, salts, baseDocId)
+        appendSegment(spark, batch, batchId, indexDir, avgdl, salts, baseDocId, mode)
         ()
       }
       .start()
   }
 
-  /** One micro-batch → one posting segment. Deterministic within a batch:
-    * docIds are the dense rank of (repo, path, commit) inside the batch,
-    * offset into the batch's reserved id range.
+  /** One micro-batch → one complete, searchable posting segment.
+    * Deterministic within a batch: docIds are the dense rank of
+    * (repo, path, commit) from the two-pass assignDocIds (NO global
+    * single-partition window), offset into the batch's reserved id range.
     */
-  private[streaming] def appendSegment(spark: SparkSession, batch: Dataset[CorpusDoc],
+  private[graft] def appendSegment(spark: SparkSession, batch: Dataset[CorpusDoc],
                                        batchId: Long, indexDir: String, avgdl: Double,
-                                       salts: Int, baseDocId: Long): Unit = {
+                                       salts: Int, baseDocId: Long,
+                                       mode: Analyzer.Mode = Analyzer.Simple): Unit = {
     import spark.implicits._
+    val segDir = s"$indexDir/ingest_segments/batch=$batchId"
+    // replayed batch (foreachBatch is at-least-once): already committed → skip
+    if (new java.io.File(s"$segDir/_DONE").exists()) return
     if (batch.isEmpty) return
+    val cnt = batch.count()
+    require(cnt < (1L << 20), s"micro-batch of $cnt docs exceeds the reserved id range")
     val base = baseDocId + batchId * (1L << 20)
-    val ranked = batch
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"repo", $"path", $"commit")) - 1)
-      .as[(String, String, String, String, String, Int)]
-    val tokens = ranked.flatMap { case (repo, path, commit, _, content, rk) =>
-      val (tfs, dl) = Analyzer.termFreqs(content, Analyzer.Simple)
-      val docId = base + rk
-      val salt = (math.abs((repo + path + commit).hashCode) % salts)
-      tfs.iterator.map { case (t, tf) => (t, salt, docId, tf, dl) }
-    }.toDF("term", "salt", "docId", "tf", "dl")
-    val blocks = tokens
-      .repartition($"term", $"salt")
-      .sortWithinPartitions($"term", $"salt", $"docId")
-      .as[(String, Int, Long, Int, Int)]
-      .mapPartitions { it =>
-        buildStreamBlocks(it, avgdl)
-      }
-    blocks.write.mode("append").parquet(s"$indexDir/ingest_segments/batch=$batchId")
-  }
+    val saltBase = SegmentSaltBase.toLong + batchId * salts
+    require(saltBase + salts <= Int.MaxValue, s"segment salt namespace exhausted at batch $batchId")
+    val parts = spark.sessionState.conf.numShufflePartitions
 
-  private def buildStreamBlocks(it: Iterator[(String, Int, Long, Int, Int)],
-                                avgdl: Double): Iterator[PostingBlock] = {
-    val grouped = it.toSeq.groupBy(t => (t._1, t._2))
-    grouped.iterator.flatMap { case ((term, salt), rows) =>
-      rows.sortBy(_._3).grouped(Codec.BlockSize).zipWithIndex.map { case (chunk, bi) =>
-        val docs = chunk.map(_._3).toArray
-        val tfs = chunk.map(_._4).toArray
-        val dls = chunk.map(_._5).toArray
-        val maxImp = tfs.zip(dls).map { case (tf, dl) => Bm25.impact(tf, dl, avgdl) }.max
-        PostingBlock(term, salt, bi, docs.head, docs.last, docs.length,
-          Codec.encodeDeltas(docs, docs.head), Codec.encodeInts(tfs),
-          Codec.encodeInts(dls), maxImp)
-      }
-    }
+    val assigned = IndexBuilder.assignDocIds(spark, batch, parts)
+    try {
+      // foreachBatch hands a Dataset bound to the stream's CLONED session —
+      // temp functions must be registered there, not (only) on the outer one
+      graft.functions.TokenStats.register(batch.sparkSession)
+      graft.functions.TokenStats.register(spark)
+      val tokenStats = call_function("token_stats", $"content", lit(mode.name))
+      val withIds = assigned.df.select(($"docId" + base).as("docId"),
+        $"repo", $"path", $"commit", $"lang", $"content",
+        // docId-range salt over the batch's dense ranks
+        (lit(saltBase) + least(floor($"docId" * salts / cnt), lit(salts - 1)))
+          .cast("int").as("salt"))
+
+      val meta = withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
+        tokenStats.getField("dl").as("dl"), sha2($"content", 256).as("sha256"))
+      meta.write.mode("overwrite").parquet(s"$segDir/docmeta")
+
+      val tokens = withIds
+        .select($"docId", $"salt", tokenStats.as("ts"))
+        .select($"docId", $"salt", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
+        .select($"tt.term".as("term"), $"salt", $"docId", $"tt.tf".as("tf"), $"dl")
+      tokens
+        .repartition(parts, $"term", $"salt")
+        .sortWithinPartitions($"term", $"salt", $"docId")
+        .as[graft.index.TermDoc]
+        .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
+        .write.mode("overwrite").parquet(s"$segDir/blocks")
+
+      // per-segment corpus stats: n + Σdl, with the avgdl the blocks'
+      // maxImpact was computed against (liveStats uses it for the WAND
+      // bound factor)
+      val tok = spark.read.parquet(s"$segDir/docmeta")
+        .agg(sum($"dl")).head().getLong(0)
+      Seq(IndexStats(cnt, avgdl, tok)).toDS()
+        .write.mode("overwrite").parquet(s"$segDir/stats")
+
+      spark.read.parquet(s"$segDir/blocks")
+        .groupBy($"term")
+        .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+        .write.mode("overwrite").parquet(s"$segDir/termstats")
+
+      // marker LAST: readers treat marker-less segments as not-yet-ingested
+      java.nio.file.Files.write(new java.io.File(s"$segDir/_DONE").toPath,
+        Array.emptyByteArray)
+    } finally assigned.release()
   }
 
   /** Live metrics stream (the reference's `stats`/`es-stats` loop as a

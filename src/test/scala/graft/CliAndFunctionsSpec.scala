@@ -75,12 +75,32 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     val hits = graft.query.Searcher.topK(spark, h, "spark merge", 10).collect()
     assert(hits.length == 10)
     Cli.run(spark, Seq("stats", idx)) // prints lineage table; must not throw
+    Cli.run(spark, Seq("reconcile", idx)) // two-sided check; throws on mismatch
     Cli.run(spark, Seq("search", idx, "5", "spark"))
+    Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--dry-run"))
+    // dry-run must not have touched the committed index
+    Cli.run(spark, Seq("reconcile", idx))
     // create-index without --force on non-empty dir fails
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("create-index", idx))
     }
     Cli.run(spark, Seq("create-index", idx, "--force"))
     assert(new java.io.File(idx).listFiles().isEmpty)
+  }
+
+  test("cli search infers the persisted analyzer mode (code-mode index)") {
+    val idx = tmpDir("graft-cli-code-idx")
+    new java.io.File(idx).delete()
+    Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx,
+      "--mode", "code", "--salts", "2"))
+    val opened = graft.index.IndexBuilder.openHandle(idx)
+    assert(opened.mode == graft.analyze.Analyzer.Code)
+    // openHandle-based search ≡ explicit Code-mode search (the round-1 bug:
+    // search always used Simple, returning wrong hits on code indexes)
+    val viaOpen = graft.query.Searcher.topK(spark, opened, "customerValue", 10).collect()
+    val viaCode = graft.query.Searcher.topK(spark,
+      graft.index.IndexBuilder.Handle(idx, graft.analyze.Analyzer.Code),
+      "customerValue", 10).collect()
+    assert(viaOpen.toSeq == viaCode.toSeq && viaOpen.nonEmpty)
   }
 }

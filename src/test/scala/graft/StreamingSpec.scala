@@ -3,19 +3,21 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.corpus.Corpus
+import graft.index.IndexBuilder
+import graft.query.Searcher
 import graft.streaming.StreamingIngest
 
 /** Streaming ingest (SURVEY.md §2 G): file-source micro-batches append
-  * posting segments with checkpointed offsets; restart resumes without
-  * duplicating (the failure mode the reference exhibits — no `_id` on
-  * bulk, SURVEY.md §1.2).
+  * posting SEGMENTS that are immediately searchable alongside the batch
+  * index (the reference's whole point: ingested ledgers are visible to
+  * `_search`, commands/ingest.go + es/adapter.go), with checkpointed
+  * restart and idempotent per-batch replay.
   */
 class StreamingSpec extends AnyFunSuite with SparkSuite {
 
-  private def writeBatch(dir: String, docs: Seq[graft.index.CorpusDoc], name: String): Unit = {
+  private def writeBatch(dir: String, docs: Seq[graft.index.CorpusDoc]): Unit = {
     import spark.implicits._
     docs.toDS().coalesce(1).write.mode("append").parquet(dir)
-    val _ = name
   }
 
   test("micro-batches append queryable posting segments; checkpoint resumes without duplicates") {
@@ -25,36 +27,88 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val ckp = tmpDir("graft-stream-ckp")
     val docs = (0 until 60).map(i => Corpus.synthDoc(i, 7L))
 
-    writeBatch(src, docs.slice(0, 30), "b0")
+    writeBatch(src, docs.slice(0, 30))
     val q1 = StreamingIngest.startIndexAppend(spark, src, idx, ckp, avgdl = 80.0)
     q1.processAllAvailable()
     q1.stop()
-    val afterFirst = spark.read.parquet(s"$idx/ingest_segments").count()
-    assert(afterFirst > 0)
+    val h = IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    assert(h.segmentDirs.nonEmpty)
 
     // restart with one more file: only the new file is processed
-    writeBatch(src, docs.slice(30, 60), "b1")
+    writeBatch(src, docs.slice(30, 60))
     val q2 = StreamingIngest.startIndexAppend(spark, src, idx, ckp, avgdl = 80.0)
     q2.processAllAvailable()
     q2.stop()
 
-    val segs = spark.read.parquet(s"$idx/ingest_segments")
-    // every streamed docId appears exactly once across all segments
-    val docIds = segs.as[graft.index.PostingBlock].collect()
-      .flatMap(b => graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId))
-    val perDocTerms = docIds.groupBy(identity)
-    assert(perDocTerms.size == 60, s"expected 60 distinct streamed docs, got ${perDocTerms.size}")
+    def streamedDocIds(): Map[Long, Int] = {
+      val segs = spark.read.parquet(h.segmentDirs.map(_ + "/blocks"): _*)
+      segs.as[graft.index.PostingBlock].collect()
+        .flatMap(b => graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId))
+        .groupBy(identity).map { case (d, xs) => (d, xs.length) }
+    }
+    // every streamed doc appears in the postings exactly once
+    assert(streamedDocIds().size == 60,
+      s"expected 60 distinct streamed docs, got ${streamedDocIds().size}")
     // restart without new data: nothing reprocessed
-    val before = segs.count()
+    val before = h.segmentDirs.size
     val q3 = StreamingIngest.startIndexAppend(spark, src, idx, ckp, avgdl = 80.0)
     q3.processAllAvailable()
     q3.stop()
-    assert(spark.read.parquet(s"$idx/ingest_segments").count() == before)
+    assert(h.segmentDirs.size == before)
+  }
+
+  test("replayed micro-batch (at-least-once foreachBatch) is idempotent by batchId") {
+    import spark.implicits._
+    val idx = tmpDir("graft-replay-idx")
+    val docs = (0 until 20).map(i => Corpus.synthDoc(i, 11L)).toDS()
+    StreamingIngest.appendSegment(spark, docs, batchId = 3L, indexDir = idx,
+      avgdl = 80.0, salts = 4, baseDocId = 1L << 40)
+    val h = IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    val once = spark.read.parquet(h.segmentDirs.map(_ + "/blocks"): _*).count()
+    // crash-replay of the SAME batch id: marker present → skipped
+    StreamingIngest.appendSegment(spark, docs, batchId = 3L, indexDir = idx,
+      avgdl = 80.0, salts = 4, baseDocId = 1L << 40)
+    assert(spark.read.parquet(h.segmentDirs.map(_ + "/blocks"): _*).count() == once)
+    assert(h.segmentDirs.size == 1)
+  }
+
+  test("streamed segments are SEARCHABLE: union query == single index over the full corpus") {
+    import spark.implicits._
+    val all = (0 until 80).map(i => Corpus.synthDoc(i, 13L))
+    val idx = tmpDir("graft-live-idx")
+    val idxAll = tmpDir("graft-live-idx-all")
+    val h = IndexBuilder.build(spark, all.take(50).toDS(), idx,
+      IndexBuilder.Config(salts = 4))
+    StreamingIngest.appendSegment(spark, all.drop(50).toDS(), batchId = 0L,
+      indexDir = idx, avgdl = h.stats(spark).avgdl, salts = 4, baseDocId = 1L << 40)
+    val hAll = IndexBuilder.build(spark, all.toDS(), idxAll,
+      IndexBuilder.Config(salts = 4))
+
+    def byCommit(hh: IndexBuilder.Handle, q: String): Set[(String, Double)] =
+      Searcher.topK(spark, hh, q, Int.MaxValue).toDF()
+        .join(hh.docmetaAll(spark).toDF(), "docId")
+        .select(col("commit"), col("score"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    for (q <- Seq("the", "import def", "postinglist docfreq", "zzz_rare_token")) {
+      assert(byCommit(h, q) == byCommit(hAll, q),
+        s"union search for '$q' differs from the all-in-one index")
+      // pruned path (finite k): boundFactor must keep WAND admissible over
+      // the stale stored bounds — top-10 score multisets must agree
+      def top10(hh: IndexBuilder.Handle) =
+        Searcher.topK(spark, hh, q, 10).collect().map(_.score).sorted.toSeq
+      assert(top10(h) == top10(hAll), s"pruned top-10 for '$q' differs")
+    }
+    // live stats reflect the union exactly
+    val (st, factor) = h.liveStats(spark)
+    val stAll = hAll.stats(spark)
+    assert(st.n == stAll.n && st.totalTokens == stAll.totalTokens)
+    assert(st.avgdl == stAll.avgdl && factor >= 1.0)
   }
 
   test("live windowed metrics stream with watermark produces per-lang counts") {
     val src = tmpDir("graft-stream-src2")
-    writeBatch(src, (0 until 40).map(i => Corpus.synthDoc(i, 9L)), "b0")
+    writeBatch(src, (0 until 40).map(i => Corpus.synthDoc(i, 9L)))
     val q = StreamingIngest.liveMetrics(spark, src).writeStream
       .outputMode("update").format("memory").queryName("live_metrics").start()
     q.processAllAvailable()
