@@ -81,6 +81,23 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
+  /** 64-bit content hash: two 32-bit murmur passes — the ONLY string
+    * traversals per shingle; the NumHashes minhash family is then derived
+    * by `hSeeded`'s integer mixing (the standard h_k(x) = mix(h(x), k)
+    * construction). 72 murmur passes per shingle → 2.
+    */
+  private[graft] def hBase(s: String): Long =
+    ((scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL) << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** k-th member of the minhash family from the base content hash. */
+  private[graft] def hSeeded(base: Long, k: Int): Long = {
+    var x = base ^ (k.toLong * 0x9e3779b97f4a7c15L)
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   /** MinHash signature per doc → band buckets → bucket join → candidate
     * pairs → exact Jaccard verify on candidates only. Every step is a
     * narrow map or an equi-shuffle; no full pair matrix. With r=3, b=24,
@@ -89,21 +106,34 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
-    val sh = shingles(docs(spark, sfDir)).as[(Long, String)].cache()
     val rowsPerBand = NumHashes / Bands
-    // signatures: per doc, NumHashes min-hashes (one local pass per group)
-    val sigs = sh.groupByKey(_._1).mapGroups { (docId, it) =>
-      val mins = Array.fill(NumHashes)(Long.MaxValue)
-      it.foreach { case (_, s) =>
-        var k = 0
-        while (k < NumHashes) {
-          val h = h64(s, k)
-          if (h < mins(k)) mins(k) = h
-          k += 1
+    // signatures: ONE narrow map over documents — shingles are re-derived
+    // locally per doc (same sliding window as `shingles`; min() is
+    // idempotent so the distinct step is unnecessary for minhash), which
+    // removes the groupByKey shuffle of every (doc, shingle) pair the
+    // round-1 version paid. Docs with no shingle emit no signature
+    // (matching the shingle-derived grouping).
+    val sigs = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.length < 3) Iterator.empty
+        else {
+          val mins = Array.fill(NumHashes)(Long.MaxValue)
+          var i = 0
+          while (i + 2 < ws.length) {
+            val base = hBase(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+            var k = 0
+            while (k < NumHashes) {
+              val h = hSeeded(base, k)
+              if (h < mins(k)) mins(k) = h
+              k += 1
+            }
+            i += 1
+          }
+          Iterator.single((docId, mins))
         }
       }
-      (docId, mins)
-    }
     // band buckets: (band, hash(band rows)) → docIds
     val buckets = sigs.flatMap { case (docId, mins) =>
       (0 until Bands).iterator.map { b =>
@@ -112,20 +142,41 @@ object Dedup {
         (b, sig, docId)
       }
     }.toDF("band", "sig", "doc_id")
+    // cached: the candidate set is consumed by three downstream branches
+    // (candidate docs, and both sides of the intersection join) — without
+    // it the whole sigs→buckets pipeline would recompute per branch. It is
+    // small by construction (LSH's output), so the cache is a few rows.
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verify on candidates only — join the (small) candidate set to
-    // each side's shingles and count equal shingles per pair; the full
-    // shingle self-join never happens, so verification cost is
-    // O(|candidates| · shingles²/doc), not O(corpus²)
-    val shDf = sh.toDF("doc_id", "sh")
-    val sizes = shDf.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("n"))
+      .cache()
+    // exact verify on candidates only. The candidate DOC set is broadcast
+    // and shingles are pre-filtered to it with per-doc LOCAL dedup (a
+    // doc's distinct shingles fit in memory by construction), so the only
+    // shingle rows that ever shuffle belong to candidate docs — the full
+    // corpus shingle table is never shuffled, and the full pair matrix
+    // never exists: cost is O(|candidates| · shingles/doc).
+    val candDocs = cands.select(col("a").as("doc_id"))
+      .union(cands.select(col("b").as("doc_id"))).distinct()
+    val shCand = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .join(broadcast(candDocs), "doc_id")
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val set = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i + 2 < ws.length) {
+          set += ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+          i += 1
+        }
+        set.iterator.map((docId, _))
+      }.toDF("doc_id", "sh")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("n"))
     val interAll = cands
-      .join(shDf.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-      .join(shDf.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+      .join(shCand.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(shCand.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
       .filter(col("sha") === col("shb"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("i"))

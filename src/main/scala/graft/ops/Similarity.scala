@@ -153,9 +153,9 @@ object Similarity {
     import spark.implicits._
     val dir = buildLshBuckets(spark, sfDir, tables, planes)
     val e = emb(spark, sfDir)
-    val dim = e.select(col("embedding")).as[Array[Float]].head().length
     val q: Array[Float] = e.filter(col("vec_id") === qId)
       .select(col("embedding")).as[Array[Float]].head()
+    val dim = q.length
     val qBuckets: Seq[Long] = (0 until tables).flatMap { t =>
       val tPlanes = Array.tabulate(planes)(p => hyperplane(t * 1000 + p, dim))
       val base = lshKey(q, tPlanes)
@@ -167,9 +167,14 @@ object Similarity {
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("vec_id")).distinct()
       .filter(col("vec_id") =!= qId)
-    val nCand = cands.count()
-    System.err.println(s"[graft-ann] lshTopK qId=$qId candidates=$nCand " +
-      s"(fraction=${"%.4f".format(nCand.toDouble / math.max(e.count(), 1L))})")
+    // candidate-fraction evidence costs two extra count jobs — conf-gated
+    // so the hot query path stays at two jobs (q fetch + rescore); OpsSpec
+    // turns it on and asserts the fraction is a small corpus share
+    if (spark.conf.getOption("spark.graft.ann.logCandidates").contains("true")) {
+      val nCand = cands.count()
+      System.err.println(s"[graft-ann] lshTopK qId=$qId candidates=$nCand " +
+        s"(fraction=${"%.4f".format(nCand.toDouble / math.max(e.count(), 1L))})")
+    }
     val bq = spark.sparkContext.broadcast(q)
     e.join(cands, "vec_id")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

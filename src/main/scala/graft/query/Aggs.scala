@@ -149,38 +149,44 @@ object Aggs {
       .select(col("l_orderkey").as("seq"))
       .repartitionByRange(parts, col("seq"))
       .sortWithinPartitions(col("seq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // tiny job: per-partition key bounds (≤ one row per partition)
-    val bounds = sorted
-      .groupBy(spark_partition_id().as("pid"))
-      .agg(min(col("seq")).as("mn"), max(col("seq")).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val boundaryGaps = bounds.sliding(2).collect {
-      case Array((_, _, prevMax), (_, nextMin, _)) if nextMin > prevMax + 1 =>
-        (prevMax + 1, nextMin - 1)
-    }.toSeq
-    val interior = sorted.as[Long].mapPartitions { it =>
-      new Iterator[(Long, Long)] {
-        private var prev = if (it.hasNext) it.next() else Long.MinValue
-        private var nextGap: (Long, Long) = null
+      .as[Long]
+    // ONE pass per partition: interior gaps (duplicates skipped inline) plus
+    // one SENTINEL row carrying the partition's (min, max). Both consumers
+    // below read this same subplan; Catalyst's ReuseExchange dedupes the
+    // range shuffle, so the data is shuffled once.
+    val scanned = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[(Long, Long, Boolean)] {
+        private val firstKey = it.next()
+        private var prevKey = firstKey
+        private var pending: (Long, Long, Boolean) = null
+        private var sentinelEmitted = false
         private def seek(): Unit = {
-          while (nextGap == null && it.hasNext) {
+          while (pending == null && it.hasNext) {
             val k = it.next()
-            if (k > prev + 1) nextGap = (prev + 1, k - 1)
-            prev = k
+            if (k > prevKey + 1) pending = (prevKey + 1, k - 1, false)
+            prevKey = k
+          }
+          if (pending == null && !it.hasNext && !sentinelEmitted) {
+            pending = (firstKey, prevKey, true) // sentinel: (partition min, max)
+            sentinelEmitted = true
           }
         }
-        def hasNext: Boolean = { seek(); nextGap != null }
-        def next(): (Long, Long) = { seek(); val g = nextGap; nextGap = null; g }
+        def hasNext: Boolean = { seek(); pending != null }
+        def next(): (Long, Long, Boolean) = { seek(); val g = pending; pending = null; g }
       }
-    }.toDF("gap_start", "gap_end")
-    // `sorted` stays persisted until the returned plan is consumed; the
-    // ContextCleaner unpersists it once unreferenced (eager unpersist here
-    // would evict before the lazy interior job runs).
-    interior
-      .union(spark.createDataset(boundaryGaps).toDF("gap_start", "gap_end"))
-      .orderBy(col("gap_start"))
+    }.toDF("a", "b", "sentinel")
+    val interior = scanned.filter(!col("sentinel"))
+      .select(col("a").as("gap_start"), col("b").as("gap_end"))
+    // Cross-partition gaps from the sentinels: ≤ one row per partition —
+    // metadata-sized, so the global window over them is a few-hundred-row
+    // sort, not a data-sized single-partition exchange.
+    val w = Window.orderBy(col("a"))
+    val boundary = scanned.filter(col("sentinel"))
+      .withColumn("nxt", lead(col("a"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") > col("b") + 1)
+      .select((col("b") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    interior.union(boundary).orderBy(col("gap_start"))
   }
 
   /** D7: range reconciliation — counts per fixed-step key bucket

@@ -169,6 +169,14 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(dfFromBlocks == ts)
   }
 
+  test("salt count scales with corpus size (bounded per-group WAND working set)") {
+    val cfg = IndexBuilder.Config(salts = 8, docsPerSalt = 250000L)
+    assert(IndexBuilder.effectiveSalts(cfg, 2000L) == 8) // floor at configured minimum
+    assert(IndexBuilder.effectiveSalts(cfg, 10000000L) == 40) // grows ∝ N
+    assert(IndexBuilder.effectiveSalts(cfg, 1000000000L) == 4000) // 1B docs → 4000-way hot-term parallelism
+    assert(IndexBuilder.effectiveSalts(cfg, Long.MaxValue / 2) == 65536) // capped
+  }
+
   test("hot terms are salted across multiple docId ranges") {
     import spark.implicits._
     val saltsPerHotTerm = handle.postings(spark)

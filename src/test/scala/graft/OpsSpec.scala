@@ -37,10 +37,12 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("LSH top-k is a subset of brute-force ranking with recall ≥ 0.5") {
+    spark.conf.set("spark.graft.ann.logCandidates", "true") // fraction evidence
     val brute = Similarity.cosineTopK(spark, sfDir, 0L, 20).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val lsh = Similarity.lshTopK(spark, sfDir, 0L, 20).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    spark.conf.unset("spark.graft.ann.logCandidates")
     val bruteMap = brute.toMap
     // every LSH hit must carry the exact brute-force score (exact re-score)
     lsh.foreach { case (id, cq) => assert(bruteMap.get(id).forall(_ == cq) ||
