@@ -403,7 +403,7 @@ object IndexBuilder {
 
   // ---- lineage / resume ----------------------------------------------------
 
-  private[index] def mix3(a: Long, b: Long, c: Long): Long = {
+  private[graft] def mix3(a: Long, b: Long, c: Long): Long = {
     var x = a ^ (b * 0x9e3779b97f4a7c15L) ^ (c * 0xc2b2ae3d27d4eb4fL)
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

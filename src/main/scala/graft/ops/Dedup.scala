@@ -142,26 +142,38 @@ object Dedup {
         (b, sig, docId)
       }
     }.toDF("band", "sig", "doc_id")
-    // cached: the candidate set is consumed by three downstream branches
-    // (candidate docs, and both sides of the intersection join) — without
-    // it the whole sigs→buckets pipeline would recompute per branch. It is
-    // small by construction (LSH's output), so the cache is a few rows.
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-      .cache()
-    // exact verify on candidates only. The candidate DOC set is broadcast
-    // and shingles are pre-filtered to it with per-doc LOCAL dedup (a
-    // doc's distinct shingles fit in memory by construction), so the only
-    // shingle rows that ever shuffle belong to candidate docs — the full
-    // corpus shingle table is never shuffled, and the full pair matrix
-    // never exists: cost is O(|candidates| · shingles/doc).
-    val candDocs = cands.select(col("a").as("doc_id"))
-      .union(cands.select(col("b").as("doc_id"))).distinct()
-    val shCand = docs(spark, sfDir).select(col("doc_id"), col("text"))
-      .join(broadcast(candDocs), "doc_id")
+    // Adaptive coordinator step (same pattern as Searcher's driver path):
+    // the candidate DOC set is LSH's output. If it is driver-small, collect
+    // it (one job over the sigs→buckets→bucket-join pipeline) and inline it
+    // as a pushdown-able IN filter for the verify job; on a dup-heavy
+    // corpus where candidates exceed the bound, fall back to a distributed
+    // semi-join on the same candidate-doc plan. The verify then exactly
+    // scores every pair of candidate docs sharing a shingle — a superset of
+    // the LSH pair set restricted to candidate docs (extra true pairs only
+    // help recall), and a subset of the true pair set (the scoring is
+    // exact). Only candidate docs' shingles ever shuffle — the full corpus
+    // shingle table is never materialized, and the n² pair matrix never
+    // exists: cost is O(|candidate docs| · shingles/doc).
+    val candDocsDf = cands
+      .select(col("a").as("doc_id")).union(cands.select(col("b").as("doc_id")))
+      .distinct()
+    val maxDriverCands = 100000
+    val probed: Array[Long] =
+      candDocsDf.limit(maxDriverCands + 1).as[Long].collect().sorted
+    if (probed.isEmpty)
+      return spark.range(0)
+        .select(col("id").as("a"), col("id").as("b"), col("id").as("jacc_q"))
+    val candDocs: DataFrame => DataFrame =
+      if (probed.length <= maxDriverCands)
+        _.filter(col("doc_id").isin(probed: _*))
+      else
+        _.join(candDocsDf, Seq("doc_id"), "left_semi")
+    val shCand = candDocs(docs(spark, sfDir).select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
@@ -172,15 +184,13 @@ object Dedup {
           i += 1
         }
         set.iterator.map((docId, _))
-      }.toDF("doc_id", "sh")
+      }.toDF("doc_id", "sh").cache()
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("n"))
-    val interAll = cands
-      .join(shCand.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-      .join(shCand.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-      .filter(col("sha") === col("shb"))
-      .groupBy(col("a"), col("b"))
+    val inter = shCand.as("x").join(shCand.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).cast("double").as("i"))
-    interAll
+    inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))

@@ -7,11 +7,17 @@ import graft.Engine.quantized
 /** Approximate-nearest-neighbor / similarity search over the embedding
   * column (`embeddings.parquet`: vec_id, embedding Array[Float], label).
   *
-  * Baseline: brute-force cosine top-k — one narrow map over all vectors +
-  * TakeOrderedAndProject; at scale this is the exact re-scorer. Scale path:
-  * random-hyperplane LSH bucketing — each vector lands in a few buckets,
-  * candidate generation is an equi-join on (bucket), and only candidates
-  * get exact scoring. Both are deterministic (seeded hyperplanes).
+  * Three deterministic tiers, all exact-rescored:
+  *  - brute-force cosine top-k: one narrow map + TakeOrderedAndProject —
+  *    the exact baseline and the re-scorer everywhere;
+  *  - sign-LSH (multi-probe) candidate generation: right for PAIR finding
+  *    (bucket self-join, `lshPairs`/`minhashLshPairs` shape) — but for a
+  *    single top-k QUERY parquet cannot point-look-up buckets, so the flat
+  *    bucket table costs a scan comparable to the data itself (measured:
+  *    slower than brute at every size tried, BENCH/BASELINE.md);
+  *  - IVF with `partitionBy(list_id)`: the measured query scale path —
+  *    partition pruning makes query IO nprobe/lists of the corpus at any
+  *    size (10M vectors: 0.34 s vs 1.4–4 s brute on this box).
   */
 object Similarity {
 
@@ -64,6 +70,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), quantized(col("cos")).as("cos_q"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Deterministic synthetic embeddings table (vec_id, embedding, label) —
+    * for scale benches beyond the driver SF data (e.g. the brute-vs-LSH
+    * crossover demo). Pure function of (i, d, seed): identical at any
+    * parallelism.
+    */
+  def synthEmbeddings(spark: SparkSession, dir: String, n: Long, dim: Int,
+                      seed: Long = 7L, parallelism: Int = 32,
+                      centers: Int = 0, noise: Float = 0.15f): Unit = {
+    import spark.implicits._
+    def u(a: Long, b: Long): Float = {
+      var x = seed ^ (a * 0x9e3779b97f4a7c15L) ^ (b * 0xc2b2ae3d27d4eb4fL)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      ((x ^ (x >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    spark.range(0, n, 1, parallelism).map { i =>
+      val v =
+        if (centers <= 0) Array.tabulate(dim)(d => u(i, d))
+        else {
+          // clustered: center(i % centers) + small noise — same-cluster
+          // cosine ≈ 1/(1+noise²), so near-neighbor recall is meaningful
+          val c = i % centers
+          Array.tabulate(dim)(d => u(0x7fffffffL + c, d) + noise * u(i, 1000L + d))
+        }
+      (i, v, (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   /** Deterministic random hyperplane, seeded per (plane, dim). */
@@ -167,16 +202,204 @@ object Similarity {
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("vec_id")).distinct()
       .filter(col("vec_id") =!= qId)
-    // candidate-fraction evidence costs two extra count jobs — conf-gated
-    // so the hot query path stays at two jobs (q fetch + rescore); OpsSpec
-    // turns it on and asserts the fraction is a small corpus share
+    // candidate-fraction evidence costs an extra count job — conf-gated so
+    // the hot query path stays lean; OpsSpec turns it on and asserts the
+    // fraction is a small corpus share
     if (spark.conf.getOption("spark.graft.ann.logCandidates").contains("true")) {
       val nCand = cands.count()
       System.err.println(s"[graft-ann] lshTopK qId=$qId candidates=$nCand " +
         s"(fraction=${"%.4f".format(nCand.toDouble / math.max(e.count(), 1L))})")
     }
     val bq = spark.sparkContext.broadcast(q)
-    e.join(cands, "vec_id")
+    // Adaptive coordinator step (Searcher's driver-path pattern): a top-k
+    // query's candidate set is small by LSH design — collect the ids (the
+    // bucket scan is pruned to the probe keys by the table's sort order)
+    // and rescore with a narrow IN-filtered scan, the same plan shape as
+    // brute force but over the candidate fraction. Degenerate queries
+    // exceeding the bound fall back to the distributed semi-join.
+    val maxDriverCands = 100000
+    val probed: Array[Long] = cands.limit(maxDriverCands + 1).as[Long].collect()
+    val candVecs =
+      if (probed.length <= maxDriverCands)
+        e.filter(col("vec_id").isin(probed: _*))
+      else e.join(cands, Seq("vec_id"), "left_semi")
+    candVecs
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, cosine(bq.value, v)) }
+      .toDF("vec_id", "cos")
+      .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
+      .orderBy(desc("cos_q"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-dup PAIRS at scale: self-join of the prebuilt bucket
+    * table (pairs colliding in ≥1 table) → exact cosine verify ≥ threshold.
+    * Shuffles only bucket rows (tables·n) and candidate pairs — never the
+    * n² pair matrix. Output ⊆ exact pairs by construction (verify is
+    * exact); recall is the LSH collision probability, which separates
+    * cleanly when near-dups are tight (cos ≥ ~0.8, the real embedding-dedup
+    * regime: P(collide) ≥ 1-(1-0.86^10)^24 ≈ 0.997 at cos 0.9 vs ≈ 0.02
+    * for orthogonal pairs). At loose thresholds on near-orthogonal data
+    * (e.g. 0.45 on this synthetic corpus) candidate generation degenerates
+    * toward all pairs — there the exact `cosinePairs` verifier is the right
+    * tool; OpsSpec demonstrates both regimes.
+    */
+  def lshPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.9,
+               tables: Int = 24, planes: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dir = buildLshBuckets(spark, sfDir, tables, planes)
+    val b = spark.read.parquet(s"$dir/buckets")
+    val cands = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    cands
+      .join(e.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), "a")
+      .join(e.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), "b")
+      .select(col("a"), col("b"), col("va"), col("vb")) // joins reorder columns
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (x, y, va, vb) => (x, y, cosine(va, vb)) }
+      .toDF("a", "b", "cos")
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), quantized(col("cos")).as("cos_q"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- IVF (inverted-file) ANN: the partition-pruned scale path ----------
+
+  def ivfDir(sfDir: String, lists: Int): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-ivf/v1-l$lists-$key"
+  }
+
+  /** Build (or resume) an IVF index: k-means-style coarse quantizer
+    * (deterministic hash-sampled init + `iters` Lloyd refinements, each one
+    * narrow broadcast-assign pass + one tiny per-list average), then the
+    * embeddings written PARTITIONED BY list id. This is the layout that
+    * actually prunes IO in Spark: a query probes its nprobe nearest lists
+    * and the scan reads ONLY those directories (PartitionFilters), unlike
+    * any row-level filter over a flat table (parquet can't point-look-up an
+    * IN list, so LSH-style rescans still read every row group at query
+    * time — see BENCH/BASELINE.md's brute/LSH/IVF crossover).
+    */
+  def buildIvf(spark: SparkSession, sfDir: String, lists: Int = 64,
+               iters: Int = 2): String = {
+    import spark.implicits._
+    val dir = ivfDir(sfDir, lists)
+    if (!new java.io.File(s"$dir/_DONE").exists()) {
+      val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"), col("label"))
+      // deterministic pseudo-random init: `lists` vectors minimizing a hash
+      // of vec_id (TakeOrdered — one narrow pass)
+      var centroids: Array[Array[Double]] = e
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) => (graft.index.IndexBuilder.mix3(id, 0x1f17, 7L), v) }
+        .orderBy(col("_1")).limit(lists)
+        .collect().map(_._2.map(_.toDouble))
+      // Lloyd refinement on a deterministic ~10% sample (the standard
+      // train-quantizer-on-a-sample shortcut: assignment quality needs
+      // centroid SHAPE, not every point)
+      val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .filter(r => java.lang.Math.floorMod(graft.index.IndexBuilder.mix3(r._1, 0xca1, 3L), 10L) == 0L)
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val refined = sample
+          .map { case (_, v) => (nearestList(v, bc.value), v) }
+          .groupByKey(_._1)
+          .mapGroups { (list, it) =>
+            var n = 0
+            var acc: Array[Double] = null
+            it.foreach { case (_, v) =>
+              if (acc == null) acc = new Array[Double](v.length)
+              var i = 0
+              while (i < v.length) { acc(i) += v(i); i += 1 }
+              n += 1
+            }
+            (list, acc.map(_ / n))
+          }.collect().toMap
+        centroids = Array.tabulate(centroids.length)(l => refined.getOrElse(l, centroids(l)))
+      }
+      val bc = spark.sparkContext.broadcast(centroids)
+      e.as[(Long, Array[Float], Int)]
+        .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }
+        .toDF("vec_id", "embedding", "label", "list_id")
+        // one file per list: partition-pruned probes then open nprobe files,
+        // not nprobe × writer-task shards
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/emb")
+      spark.createDataset(centroids.zipWithIndex.map { case (c, l) => (l, c) }.toSeq)
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      val f = new java.io.File(s"$dir/_DONE")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+    }
+    dir
+  }
+
+  private[graft] def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var l = 0
+    while (l < cs.length) {
+      val c = cs(l)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i) * c(i); nv += v(i).toDouble * v(i); nc += c(i) * c(i); i += 1
+      }
+      val cos = dot / (math.sqrt(nv) * math.sqrt(nc))
+      if (cos > bestCos) { bestCos = cos; best = l }
+      l += 1
+    }
+    best
+  }
+
+  // per-session caches: the centroid table (collected once — it is the
+  // in-memory coarse quantizer every IVF system keeps resident) and the
+  // partitioned table's DataFrame (reusing its FileIndex skips re-listing
+  // `lists` directories per query)
+  private val ivfCentroidCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[(Int, Array[Double])]]]()
+  private val ivfEmbCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def perSession[T](cache: java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, T]], spark: SparkSession) =
+    cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty[String, T]; cache.put(spark, m) }
+      m
+    }
+
+  /** IVF ANN top-k: rank the (tiny, resident) centroid table by cosine to
+    * the query, probe the nprobe nearest lists, exact-rescore only those
+    * partitions. The scan's PartitionFilters prune every other list
+    * directory — query IO is nprobe/lists of the corpus by construction,
+    * at any corpus size.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, qId: Long = 0L, k: Int = 20,
+              lists: Int = 64, nprobe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dir = buildIvf(spark, sfDir, lists)
+    val centroids = perSession(ivfCentroidCache, spark).getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Array[Double])].collect().sortBy(_._1))
+    val q: Array[Float] = emb(spark, sfDir).filter(col("vec_id") === qId)
+      .select(col("embedding")).as[Array[Float]].head()
+    val probeLists: Seq[Int] = centroids.map { case (l, c) =>
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < q.length) {
+        dot += q(i) * c(i); nv += q(i).toDouble * q(i); nc += c(i) * c(i); i += 1
+      }
+      (l, dot / (math.sqrt(nv) * math.sqrt(nc)))
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    val bq = spark.sparkContext.broadcast(q)
+    perSession(ivfEmbCache, spark).getOrElseUpdate(dir, spark.read.parquet(s"$dir/emb"))
+      .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, cosine(bq.value, v)) }
       .toDF("vec_id", "cos")

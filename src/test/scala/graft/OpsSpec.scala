@@ -51,6 +51,49 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("LSH pairs find ALL planted tight near-dups (cos ≥ 0.9) without the n² join") {
+    import spark.implicits._
+    // planted corpus: 40 base vectors, every 4th duplicated with tiny noise
+    // (cos ≥ ~0.99) — the real embedding-dedup regime lshPairs targets
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = base.zipWithIndex.collect { case ((id, v), i) if i % 4 == 0 =>
+      (100L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val dir = tmpDir("graft-lshpairs")
+    (base ++ dups).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosinePairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Similarity.lshPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.size == dups.size, s"expected ${dups.size} planted pairs, exact found ${exact.size}")
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+  }
+
+  test("IVF top-k: partition-pruned probe recovers the clustered true neighbors") {
+    import spark.implicits._
+    // clustered corpus: IVF's regime — same-cluster cosine ≈ 1/(1+noise²)
+    val dir = tmpDir("graft-ivf-test")
+    Similarity.synthEmbeddings(spark, dir, 3000L, 32, centers = 100)
+    val brute = Similarity.cosineTopK(spark, dir, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.ivfTopK(spark, dir, 0L, 20, lists = 32, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact re-score: every IVF hit carries the brute-force score
+    val bruteMap = brute.toMap
+    ivf.foreach { case (id, cq) =>
+      assert(bruteMap.get(id).forall(_ == cq), s"score mismatch for $id") }
+    val recall = ivf.map(_._1).count(brute.map(_._1).toSet) / brute.length.toDouble
+    assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+    // the probe reads only nprobe of the lists (partition pruning)
+    val plan = Similarity.ivfTopK(spark, dir, 0L, 20, lists = 32, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition-pruned scan")
+  }
+
   test("centroid assignment is the true argmax for a sample of vectors") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -49,6 +49,20 @@ object Probe {
               (id, mins.sum)
             }.write.format("noop").mode("overwrite").save()
         }
+      case "annx" =>
+        val n = sys.env.getOrElse("GRAFT_ANNX_N", "1500000").toLong
+        val annDir = s"${sys.props("java.io.tmpdir")}/graft-bench-annx-$n"
+        if (r == 1 && !new java.io.File(s"$annDir/embeddings.parquet").exists()) {
+          timed(r, "annx:synth")(
+            graft.ops.Similarity.synthEmbeddings(spark, annDir, n, 64, centers = (n / 150).toInt))
+        }
+        if (r == 1) {
+          timed(r, "annx:lsh-build")(graft.ops.Similarity.buildLshBuckets(spark, annDir, 4, 12))
+          timed(r, "annx:ivf-build")(graft.ops.Similarity.buildIvf(spark, annDir, lists = 256))
+        }
+        timed(r, "annx:brute")(graft.ops.Similarity.cosineTopK(spark, annDir).collect())
+        timed(r, "annx:lsh")(graft.ops.Similarity.lshTopK(spark, annDir, tables = 4, planes = 12).collect())
+        timed(r, "annx:ivf")(graft.ops.Similarity.ivfTopK(spark, annDir, lists = 256, nprobe = 8).collect())
       case "explain" =>
         for (name <- Seq("win_gap_detect", "agg_sig_terms", "ann_lsh_topk")) {
           println(s"==== $name ====")
