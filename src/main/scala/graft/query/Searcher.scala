@@ -44,11 +44,19 @@ object Searcher {
 
   // postings (batch ∪ completed streamed segments) kept hot per index —
   // a search engine keeps its index resident; repeated queries then pay
-  // only the filter + WAND, not the parquet scan
+  // only the filter + WAND, not the parquet scan. A new segment changes the
+  // fingerprint; the superseded union is unpersisted, not leaked.
   private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle,
-                          fp: String): Dataset[PostingBlock] =
-    perSession(postingsCache, spark)
-      .getOrElseUpdate(s"${h.dir}|$fp", h.postingsAll(spark).cache())
+                          fp: String): Dataset[PostingBlock] = {
+    val m = perSession(postingsCache, spark)
+    val key = s"${h.dir}|$fp"
+    m.getOrElseUpdate(key, {
+      m.keys.filter(k => k.startsWith(s"${h.dir}|") && k != key).foreach { stale =>
+        m.remove(stale).foreach(_.unpersist(blocking = false))
+      }
+      h.postingsAll(spark).cache()
+    })
+  }
 
   private def liveStats(spark: SparkSession, h: IndexBuilder.Handle,
                         fp: String): (graft.index.IndexStats, Double) =
