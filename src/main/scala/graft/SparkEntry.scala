@@ -253,6 +253,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "text_winnow" -> ((s, d) => TextOps.winnowFingerprint(s, d)),
     "mm_meta" -> ((s, d) => Multimodal.metaColumns(s, d)),
     "mm_extract" -> ((s, d) => Multimodal.extractMeta(s, d)),
   )
@@ -525,11 +526,35 @@ object SparkEntry {
          |       ${q4("b.punct_ratio")} AS punct_q,
          |       ${q4("least(t.ntok / 100.0, 1.0) * 0.5 + (1.0 - b.punct_ratio) * 0.3 + (t.nstop / t.ntok) * 0.2")} AS quality_q
          |FROM base b JOIN tok t ON b.doc_id = t.doc_id ORDER BY doc_id""".stripMargin,
+    // bpe_tokens: RE2's leftmost-first alternation ≡ Java regex on ASCII —
+    // parity verified per-doc before this oracle was added
     "text_token_count" ->
-      """SELECT doc_id,
-        |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
-        |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS word_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+         |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS word_tokens,
+         |       len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}'))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing (k=8 char grams, window w=4): identical md5 gram hashes and
+    // lexical window minima both engines; constant series bound 2000 ≫ max
+    // doc length (DuckDB 1.0 has no lateral series)
+    "text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, t.gs AS pos, md5(substr(text, t.gs, 8)) AS h
+        |  FROM documents CROSS JOIN generate_series(1, 2000) t(gs)
+        |  WHERE t.gs <= length(text) - 7),
+        |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |mw AS (
+        |  SELECT g.doc_id, g.pos,
+        |         min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT mw.doc_id, mw.mh
+        |  FROM mw JOIN cnt ON mw.doc_id = cnt.doc_id
+        |  WHERE cnt.ng < 4 OR mw.pos <= cnt.ng - 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_fp,
+        |       md5(string_agg(mh, ',' ORDER BY mh)) AS fp
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte,
          |d AS (SELECT DISTINCT doc_id, term FROM t2)

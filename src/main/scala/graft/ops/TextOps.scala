@@ -62,6 +62,15 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then bare
+    * whitespace. Leftmost-first alternation behaves identically in Java
+    * regex (Spark) and RE2 (DuckDB) on this ASCII corpus — parity verified
+    * empirically across every doc before the oracle was added.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (word pieces + digits + punctuation marks each count).
     */
@@ -70,8 +79,36 @@ object TextOps {
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
         size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= ""))
-          .cast("long").as("word_tokens"))
+          .cast("long").as("word_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
+
+  /** Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
+    * every k-char gram, slide a w-gram window, keep each window's minimum —
+    * guaranteed to share fingerprints with any copy of length ≥ k+w-1.
+    * Pure column expressions (transform over an index sequence + slice +
+    * array_min), so it whole-stage-codegens and transliterated DuckDB
+    * (window min over the gram rows) computes the identical set.
+    */
+  def winnowFingerprint(spark: SparkSession, sfDir: String,
+                        k: Int = 8, w: Int = 4): DataFrame = {
+    val s = col("text")
+    val grams = transform(sequence(lit(1), length(s) - (k - 1)),
+      i => md5(s.substr(i, lit(k))))
+    val mins = when(size(col("grams")) >= w,
+        transform(sequence(lit(1), size(col("grams")) - (w - 1)),
+          j => array_min(slice(col("grams"), j, lit(w)))))
+      .otherwise(col("grams"))
+    docs(spark, sfDir)
+      .filter(length(s) >= k)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), array_sort(array_distinct(mins)).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(",", col("fps"))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Document fingerprint: digest of the sorted distinct token set — the
     * canonical-form rolling-hash family (order-insensitive variant so it is
