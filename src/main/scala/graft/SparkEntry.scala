@@ -245,6 +245,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_wide" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),

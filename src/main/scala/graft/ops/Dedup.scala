@@ -244,4 +244,65 @@ object Dedup {
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** 128-bit SimHash (two independent 64-bit vote planes). */
+  private[graft] def simhash128(tokens: Iterator[String]): (Long, Long) = {
+    val votes = new Array[Int](128)
+    tokens.foreach { t =>
+      val h1 = h64(t, 0x51a)
+      val h2 = h64(t, 0xb0b)
+      var b = 0
+      while (b < 64) {
+        if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+        b += 1
+      }
+    }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) lo |= (1L << b)
+      if (votes(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** SimHash near-dup pairs, 128-bit / 32-bit-band variant — the 100 TB
+    * configuration: the 64-bit scheme's pigeonhole banding forces 16-bit
+    * keys (4 bands for dist ≤ 3), i.e. n/65k docs per bucket at scale.
+    * Doubling the hash keeps the pigeonhole guarantee (4 bands still cover
+    * dist ≤ 3) with 32-bit keys → n/4.3B per bucket: no skewed bucket join
+    * at any realistic corpus size, and a sharper distance signal (128-bit
+    * hamming). Same equi-join shape; exactness vs exhaustive hamming is
+    * asserted in OpsSpec.
+    */
+  def simhashPairsWide(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = docs(spark, sfDir).select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (hi, lo) = simhash128(t.split("[^a-z0-9]+").iterator.filter(_.nonEmpty))
+        (id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+    val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0).as("band"), col("lo").bitwiseAND(lit(0xffffffffL)).as("key")),
+        struct(lit(1).as("band"), shiftrightunsigned(col("lo"), 32).as("key")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(lit(0xffffffffL)).as("key")),
+        struct(lit(3).as("band"), shiftrightunsigned(col("hi"), 32).as("key")))).as("bk"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.bk.band") === col("y.bk.band") && col("x.bk.key") === col("y.bk.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.hi").as("ha"), col("x.lo").as("la"),
+        col("y.hi").as("hb"), col("y.lo").as("lb"))
+      .distinct()
+    cands
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -80,6 +80,12 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--dry-run"))
     // dry-run must not have touched the committed index
     Cli.run(spark, Seq("reconcile", idx))
+    // reconcile also recounts streamed segments against their stats
+    import spark.implicits._
+    val streamed = (0 until 15).map(i => graft.corpus.Corpus.synthDoc(i, 21L)).toDS()
+    graft.streaming.StreamingIngest.appendSegment(spark, streamed, batchId = 0L,
+      indexDir = idx, avgdl = h.stats(spark).avgdl, salts = 2, baseDocId = 1L << 40)
+    Cli.run(spark, Seq("reconcile", idx))
     // create-index without --force on non-empty dir fails
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("create-index", idx))

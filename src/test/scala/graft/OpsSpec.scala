@@ -36,6 +36,22 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == want)
   }
 
+  test("wide (128-bit) simhash pairs equal exhaustive 128-bit hamming pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)].collect()
+    val sigs = docs.map { case (id, t) =>
+      (id, Dedup.simhash128(t.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)))
+    }
+    val want = (for {
+      (a, (ha, la)) <- sigs; (b, (hb, lb)) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashPairsWide(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("LSH top-k is a subset of brute-force ranking with recall ≥ 0.5") {
     spark.conf.set("spark.graft.ann.logCandidates", "true") // fraction evidence
     val brute = Similarity.cosineTopK(spark, sfDir, 0L, 20).collect()
