@@ -176,9 +176,19 @@ object SparkEntry {
       Engine.hitsAsDocIds(s, h,
         Searcher.topK(s, h, "stream data", Int.MaxValue).toDF())
     },
+    // index-backed phrase search: conjunctive WAND candidates + adjacency
+    // verified against the positional postings stage (no source re-read);
+    // oracle = conjunctive BM25 filtered by token adjacency in SQL
+    "ft_phrase_positional" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      graft.index.IndexBuilder.buildPositions(
+        s, graft.corpus.Corpus.fromDocuments(s, dir), h.dir, h.mode)
+      Engine.hitsAsDocIds(s, h, graft.query.Phrase.search(s, h, "join order"))
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
-    // then exact phrase check against the source text (the cheap production
-    // pattern when the index has no positions; positions are future work)
+    // then exact phrase check against the source text (the cheap pattern
+    // when the index has no positions; ft_phrase_positional is the
+    // index-backed variant)
     "ft_phrase_search" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
       val ranked = Engine.hitsAsDocIds(s, h,
@@ -283,6 +293,24 @@ object SparkEntry {
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q
          |FROM base b JOIN documents d ON b.doc_id = d.doc_id
          |WHERE lower(d.text) LIKE '%join order%'
+         |ORDER BY score_q DESC, doc_id""".stripMargin,
+    // token-adjacency semantics (not substring): row_number over the
+    // non-empty token stream = the analyzer's 0-based positions, shifted
+    "ft_phrase_positional" ->
+      s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)}),
+         |posq AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents),
+         |pnz AS (
+         |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+         |  FROM posq WHERE w <> ''),
+         |adj AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM pnz a JOIN pnz b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |  WHERE a.w = 'join' AND b.w = 'order')
+         |SELECT base.doc_id AS doc_id, base.score_q AS score_q
+         |FROM base JOIN adj USING (doc_id)
          |ORDER BY score_q DESC, doc_id""".stripMargin,
 
     // === analytical surface ===

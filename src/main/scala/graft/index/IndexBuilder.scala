@@ -73,6 +73,12 @@ object IndexBuilder {
       spark.read.parquet(s"$dir/lineage/*").as[LineageRow]
     }
 
+    /** Positional postings (present only after buildPositions). */
+    def positions(spark: SparkSession): Dataset[PositionsRow] = {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/positions").as[PositionsRow]
+    }
+
     // ---- streamed segments (live ingest, StreamingIngest.appendSegment) --
 
     /** Completed streamed segments (marker-gated: a half-written replayed
@@ -339,6 +345,51 @@ object IndexBuilder {
 
     if (sharedIds != null) sharedIds.release()
     Handle(dir, mode)
+  }
+
+  /** OPTIONAL positional index stage (built on demand by phrase search, not
+    * part of the default build — it shuffles every token OCCURRENCE, not
+    * just distinct (term, doc) pairs, so it costs more than all other
+    * stages combined and most queries never need it). One row per
+    * (term, docId): the 0-based token positions, delta+varint encoded.
+    * docIds re-derive identically from the data (assignDocIds is a pure
+    * function of the corpus), so the stage can be added to an existing
+    * index at any time; marker + lineage-free row-count check make it
+    * idempotent like the core stages.
+    */
+  def buildPositions(spark: SparkSession, corpus: Dataset[CorpusDoc], dir: String,
+                     mode: Analyzer.Mode, partitions: Int = 0): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$dir/_STAGE_positions").exists()) return
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val assigned = assignDocIds(spark, corpus, parts)
+    try {
+      val occs = assigned.df.select($"docId", $"content").as[(Long, String)]
+        .flatMap { case (docId, content) =>
+          val ts = Analyzer.tokens(content, mode)
+          Iterator.tabulate(ts.length)(i => (ts(i), docId, i))
+        }.toDF("term", "docId", "pos")
+      occs
+        .repartition(parts, $"term")
+        .sortWithinPartitions($"term", $"docId", $"pos")
+        .as[(String, Long, Int)]
+        .mapPartitions { it =>
+          val in = it.buffered
+          new Iterator[PositionsRow] {
+            def hasNext: Boolean = in.hasNext
+            def next(): PositionsRow = {
+              val (term, docId, _) = in.head
+              val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (in.hasNext && in.head._1 == term && in.head._2 == docId)
+                ps += in.next()._3.toLong
+              PositionsRow(term, docId, ps.length, Codec.encodeDeltas(ps.toArray, 0L))
+            }
+          }
+        }
+        .write.mode("overwrite").parquet(s"$dir/positions")
+      touch(s"$dir/_STAGE_positions")
+    } finally assigned.release()
   }
 
   def saltOf(docId: Long, n: Long, salts: Int): Int =

@@ -57,3 +57,11 @@ final case class LineageRow(stage: String, partitionId: Int,
 
 /** A scored search hit. */
 final case class Hit(docId: Long, score: Double)
+
+/** Positional postings row: one (term, doc) with its in-doc token positions
+  * (0-based over the analyzer's token stream), delta+varint encoded. Built
+  * as an OPTIONAL index stage (IndexBuilder.buildPositions) — phrase
+  * queries verify adjacency against these instead of re-reading source
+  * text.
+  */
+final case class PositionsRow(term: String, docId: Long, n: Int, posDeltas: Array[Byte])

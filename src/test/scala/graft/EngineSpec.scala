@@ -142,6 +142,27 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       (0L until 300L by 15).take(got.count(_._2 == got.head._2)))
   }
 
+  test("positional phrase search equals naive token-adjacency scan (scores from conj WAND)") {
+    import spark.implicits._
+    IndexBuilder.buildPositions(spark, corpus, handle.dir, Analyzer.Code)
+    val phrase = "read parquet"
+    val got = graft.query.Phrase.search(spark, handle, phrase).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // naive: conjunctive-scored docs whose Code-token stream contains the
+    // adjacent token sequence
+    val terms = Analyzer.tokens(phrase, Analyzer.Code).toSeq
+    val byKey = corpus.collect().map(d => (d.repo, d.path, d.commit) -> d.content).toMap
+    val adjacent = handle.docmeta(spark).collect().filter { m =>
+      val ts = Analyzer.tokens(byKey((m.repo, m.path, m.commit)), Analyzer.Code)
+      ts.sliding(terms.length).exists(_.toSeq == terms)
+    }.map(_.docId).toSet
+    val scored = Searcher.topK(spark, handle, phrase, Int.MaxValue, conjunctive = true)
+      .collect().filter(h => adjacent(h.docId))
+      .map(h => (h.docId, h.score)).sortBy { case (d, s) => (-s, d) }
+    assert(got.toSeq == scored.toSeq)
+    assert(got.nonEmpty, "synth corpus should contain readParquet docs")
+  }
+
   test("unknown term → empty result, no crash") {
     assert(Searcher.topK(spark, handle, "qqqqnotaterm", 10).collect().isEmpty)
     assert(Searcher.topK(spark, handle, "", 10).collect().isEmpty)
