@@ -26,7 +26,9 @@ object Phrase {
     import spark.implicits._
     // token order matters for adjacency (topK internally dedupes for WAND)
     val terms: Array[String] = Analyzer.tokens(phrase, h.mode)
-    val scored = Searcher.topK(spark, h, phrase, k, conjunctive = true).toDF()
+    // candidates must be exhaustive: limiting before the adjacency filter
+    // would under-fill a finite k (the filter only removes rows)
+    val scored = Searcher.topK(spark, h, phrase, Int.MaxValue, conjunctive = true).toDF()
     if (terms.isEmpty) return scored
     val bTerms = spark.sparkContext.broadcast(terms)
     val matches = h.positions(spark)
@@ -51,8 +53,9 @@ object Phrase {
         if (ok) Iterator.single(docId) else Iterator.empty
       }
       .toDF("docId")
-    scored.join(matches, "docId")
+    val out = scored.join(matches, "docId")
       .select(col("docId"), col("score"))
       .orderBy(desc("score"), col("docId"))
+    if (k == Int.MaxValue) out else out.limit(k)
   }
 }

@@ -161,6 +161,10 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       .map(h => (h.docId, h.score)).sortBy { case (d, s) => (-s, d) }
     assert(got.toSeq == scored.toSeq)
     assert(got.nonEmpty, "synth corpus should contain readParquet docs")
+    // finite k = top-k OF the phrase matches (filter before limit)
+    val top2 = graft.query.Phrase.search(spark, handle, phrase, 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top2.toSeq == scored.take(2).toSeq)
   }
 
   test("unknown term → empty result, no crash") {
