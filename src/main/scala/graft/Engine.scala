@@ -15,21 +15,10 @@ object Engine {
   /** Bump to invalidate on-disk index layouts when the format changes. */
   val FormatVersion = "v2"
 
-  // Handles are cheap, but building is not — memoize per (session, key).
-  // Weak keying: a stopped session's handles vanish with it instead of
-  // leaking (Bench creates and stops a dozen sessions per run).
-  private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, IndexBuilder.Handle]]()
-
-  private def sessionCache(spark: SparkSession) = cache.synchronized {
-    var m = cache.get(spark)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[String, IndexBuilder.Handle]
-      cache.put(spark, m)
-    }
-    m
-  }
+  // Handles are cheap, but building is not — memoize per (session, key);
+  // graft.SessionCache sweeps stopped sessions (Bench creates and stops a
+  // dozen per run).
+  private val sessionCache = new SessionCache[IndexBuilder.Handle]
 
   def indexDirFor(sfDir: String, mode: Analyzer.Mode): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")

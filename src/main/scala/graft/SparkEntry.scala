@@ -580,7 +580,11 @@ object SparkEntry {
         |sel AS (
         |  SELECT DISTINCT mw.doc_id, mw.mh
         |  FROM mw JOIN cnt ON mw.doc_id = cnt.doc_id
-        |  WHERE cnt.ng < 4 OR mw.pos <= cnt.ng - 3)
+        |  WHERE cnt.ng >= 4 AND mw.pos <= cnt.ng - 3
+        |  UNION
+        |  SELECT DISTINCT g.doc_id, g.h AS mh
+        |  FROM g JOIN cnt ON g.doc_id = cnt.doc_id
+        |  WHERE cnt.ng < 4)
         |SELECT doc_id, count(*)::BIGINT AS n_fp,
         |       md5(string_agg(mh, ',' ORDER BY mh)) AS fp
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,

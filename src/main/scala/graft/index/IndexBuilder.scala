@@ -79,6 +79,21 @@ object IndexBuilder {
       spark.read.parquet(s"$dir/positions").as[PositionsRow]
     }
 
+    /** Positional postings over batch ∪ streamed segments (segments always
+      * carry positions — StreamingIngest writes them per batch; the batch
+      * stage is on-demand, so fail loudly rather than silently dropping
+      * phrase matches).
+      */
+    def positionsAll(spark: SparkSession): Dataset[PositionsRow] = {
+      import spark.implicits._
+      require(new java.io.File(s"$dir/positions").exists(),
+        s"no positional index at $dir — run IndexBuilder.buildPositions first")
+      val segs = segmentDirs.map(_ + "/positions")
+      segs.foreach(p => require(new java.io.File(p).exists(),
+        s"streamed segment lacks positions: $p"))
+      spark.read.parquet((s"$dir/positions" +: segs): _*).as[PositionsRow]
+    }
+
     // ---- streamed segments (live ingest, StreamingIngest.appendSegment) --
 
     /** Completed streamed segments (marker-gated: a half-written replayed
@@ -371,25 +386,34 @@ object IndexBuilder {
           Iterator.tabulate(ts.length)(i => (ts(i), docId, i))
         }.toDF("term", "docId", "pos")
       occs
-        .repartition(parts, $"term")
+        // salted on docId too: a Zipfian hot term's OCCURRENCES (several
+        // percent of all tokens) must not land on one reducer — same skew
+        // the postings stage salts away; a (term, docId) group always stays
+        // whole because the salt is a function of docId
+        .repartition(parts, $"term", pmod($"docId", lit(64)))
         .sortWithinPartitions($"term", $"docId", $"pos")
         .as[(String, Long, Int)]
-        .mapPartitions { it =>
-          val in = it.buffered
-          new Iterator[PositionsRow] {
-            def hasNext: Boolean = in.hasNext
-            def next(): PositionsRow = {
-              val (term, docId, _) = in.head
-              val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
-              while (in.hasNext && in.head._1 == term && in.head._2 == docId)
-                ps += in.next()._3.toLong
-              PositionsRow(term, docId, ps.length, Codec.encodeDeltas(ps.toArray, 0L))
-            }
-          }
-        }
+        .mapPartitions(buildPositionRows)
         .write.mode("overwrite").parquet(s"$dir/positions")
       touch(s"$dir/_STAGE_positions")
     } finally assigned.release()
+  }
+
+  /** Streaming run-length grouper over a (term, docId, pos)-sorted
+    * partition → one PositionsRow per (term, docId).
+    */
+  private[graft] def buildPositionRows(it: Iterator[(String, Long, Int)]): Iterator[PositionsRow] = {
+    val in = it.buffered
+    new Iterator[PositionsRow] {
+      def hasNext: Boolean = in.hasNext
+      def next(): PositionsRow = {
+        val (term, docId, _) = in.head
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (in.hasNext && in.head._1 == term && in.head._2 == docId)
+          ps += in.next()._3.toLong
+        PositionsRow(term, docId, ps.length, Codec.encodeDeltas(ps.toArray, 0L))
+      }
+    }
   }
 
   def saltOf(docId: Long, n: Long, salts: Int): Int =

@@ -139,7 +139,7 @@ object Similarity {
     * brute force's single dot; the point of LSH is the prebuilt bucket).
     */
   def buildLshBuckets(spark: SparkSession, sfDir: String,
-                      tables: Int = 24, planes: Int = 5): String = {
+                      tables: Int = 24, planes: Int = 10): String = {
     import spark.implicits._
     val dir = lshBucketsDir(sfDir, tables, planes)
     if (!new java.io.File(s"$dir/_DONE").exists()) {
@@ -355,24 +355,14 @@ object Similarity {
     best
   }
 
-  // per-session caches: the centroid table (collected once — it is the
-  // in-memory coarse quantizer every IVF system keeps resident) and the
-  // partitioned table's DataFrame (reusing its FileIndex skips re-listing
-  // `lists` directories per query)
-  private val ivfCentroidCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Array[(Int, Array[Double])]]]()
-  private val ivfEmbCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  private def perSession[T](cache: java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, T]], spark: SparkSession) =
-    cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty[String, T]; cache.put(spark, m) }
-      m
-    }
+  // per-session caches (graft.SessionCache: stopped sessions are swept —
+  // the DataFrame values pin their session, so plain weak keying would
+  // leak): the centroid table (collected once — the in-memory coarse
+  // quantizer every IVF system keeps resident) and the partitioned table's
+  // DataFrame (reusing its FileIndex skips re-listing `lists` directories
+  // per query)
+  private val ivfCentroidCache = new graft.SessionCache[Array[(Int, Array[Double])]]
+  private val ivfEmbCache = new graft.SessionCache[DataFrame]
 
   /** IVF ANN top-k: rank the (tiny, resident) centroid table by cosine to
     * the query, probe the nprobe nearest lists, exact-rescore only those
@@ -384,7 +374,7 @@ object Similarity {
               lists: Int = 64, nprobe: Int = 8): DataFrame = {
     import spark.implicits._
     val dir = buildIvf(spark, sfDir, lists)
-    val centroids = perSession(ivfCentroidCache, spark).getOrElseUpdate(dir,
+    val centroids = ivfCentroidCache(spark).getOrElseUpdate(dir,
       spark.read.parquet(s"$dir/centroids")
         .as[(Int, Array[Double])].collect().sortBy(_._1))
     val q: Array[Float] = emb(spark, sfDir).filter(col("vec_id") === qId)
@@ -398,7 +388,7 @@ object Similarity {
       (l, dot / (math.sqrt(nv) * math.sqrt(nc)))
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     val bq = spark.sparkContext.broadcast(q)
-    perSession(ivfEmbCache, spark).getOrElseUpdate(dir, spark.read.parquet(s"$dir/emb"))
+    ivfEmbCache(spark).getOrElseUpdate(dir, spark.read.parquet(s"$dir/emb"))
       .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, cosine(bq.value, v)) }

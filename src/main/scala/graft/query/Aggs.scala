@@ -175,7 +175,11 @@ object Aggs {
         def hasNext: Boolean = { seek(); pending != null }
         def next(): (Long, Long, Boolean) = { seek(); val g = pending; pending = null; g }
       }
-    }.toDF("a", "b", "sentinel")
+      // cached: interior and boundary both consume this; without it the
+      // sort+scan over the full input would execute twice (only the
+      // exchange is deduped by AQE reuse). The cached rows are tiny —
+      // gaps + one sentinel per partition.
+    }.toDF("a", "b", "sentinel").cache()
     val interior = scanned.filter(!col("sentinel"))
       .select(col("a").as("gap_start"), col("b").as("gap_end"))
     // Cross-partition gaps from the sentinels: ≤ one row per partition —

@@ -31,7 +31,7 @@ object Phrase {
     val scored = Searcher.topK(spark, h, phrase, Int.MaxValue, conjunctive = true).toDF()
     if (terms.isEmpty) return scored
     val bTerms = spark.sparkContext.broadcast(terms)
-    val matches = h.positions(spark)
+    val matches = h.positionsAll(spark)
       .filter($"term".isin(terms.distinct.toSeq: _*))
       .groupByKey(_.docId)
       .flatMapGroups { (docId, it) =>

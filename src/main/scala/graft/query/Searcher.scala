@@ -22,46 +22,42 @@ object Searcher {
 
   final case class QueryTermStat(term: String, idf: Double)
 
-  // Caches are keyed per SparkSession (weakly — a stopped session's entries
-  // become unreachable and are GC-collected, never served stale to a new
-  // session: Datasets are bound to the session that created them) and per
-  // (dir, segment fingerprint): a newly ingested segment changes the
-  // fingerprint and invalidates.
-  private val statsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, (graft.index.IndexStats, Double)]]()
-  private val postingsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Dataset[PostingBlock]]]()
+  // Caches are keyed per SparkSession (graft.SessionCache — sweeps stopped
+  // sessions, since Dataset values pin their session and defeat plain weak
+  // keying) and per (dir, segment fingerprint): a newly ingested segment
+  // changes the fingerprint and invalidates; stale same-dir entries are
+  // evicted, not leaked.
+  private val statsCache = new graft.SessionCache[(graft.index.IndexStats, Double)]
+  private val postingsCache = new graft.SessionCache[Dataset[PostingBlock]]
 
-  private def perSession[T](cache: java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, T]], spark: SparkSession) =
-    cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty[String, T]; cache.put(spark, m) }
-      m
+  private def evictStale[T](m: scala.collection.concurrent.TrieMap[String, T],
+                            dir: String, key: String)(clean: T => Unit): Unit =
+    m.keys.filter(k => k.startsWith(s"$dir|") && k != key).foreach { stale =>
+      m.remove(stale).foreach(clean)
     }
 
   // postings (batch ∪ completed streamed segments) kept hot per index —
   // a search engine keeps its index resident; repeated queries then pay
-  // only the filter + WAND, not the parquet scan. A new segment changes the
-  // fingerprint; the superseded union is unpersisted, not leaked.
+  // only the filter + WAND, not the parquet scan
   private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle,
                           fp: String): Dataset[PostingBlock] = {
-    val m = perSession(postingsCache, spark)
+    val m = postingsCache(spark)
     val key = s"${h.dir}|$fp"
     m.getOrElseUpdate(key, {
-      m.keys.filter(k => k.startsWith(s"${h.dir}|") && k != key).foreach { stale =>
-        m.remove(stale).foreach(_.unpersist(blocking = false))
-      }
+      evictStale(m, h.dir, key)(_.unpersist(blocking = false))
       h.postingsAll(spark).cache()
     })
   }
 
   private def liveStats(spark: SparkSession, h: IndexBuilder.Handle,
-                        fp: String): (graft.index.IndexStats, Double) =
-    perSession(statsCache, spark)
-      .getOrElseUpdate(s"${h.dir}|$fp", h.liveStats(spark))
+                        fp: String): (graft.index.IndexStats, Double) = {
+    val m = statsCache(spark)
+    val key = s"${h.dir}|$fp"
+    m.getOrElseUpdate(key, {
+      evictStale(m, h.dir, key)(_ => ())
+      h.liveStats(spark)
+    })
+  }
 
   /** Per-(term,salt) scorer construction from that group's blocks. */
   private def scorersFor(blocks: Seq[PostingBlock], stats: Map[String, Double],

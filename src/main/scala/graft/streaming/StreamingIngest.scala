@@ -123,6 +123,21 @@ object StreamingIngest {
         .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
         .write.mode("overwrite").parquet(s"$segDir/blocks")
 
+      // positional postings for the segment — phrase search over the live
+      // union must see streamed docs too (the batch positions stage is
+      // on-demand; per-batch occurrence volume is small, so segments carry
+      // positions unconditionally)
+      withIds.select($"docId", $"content").as[(Long, String)]
+        .flatMap { case (docId, content) =>
+          val ts = Analyzer.tokens(content, mode)
+          Iterator.tabulate(ts.length)(i => (ts(i), docId, i))
+        }.toDF("term", "docId", "pos")
+        .repartition(parts, $"term", pmod($"docId", lit(64)))
+        .sortWithinPartitions($"term", $"docId", $"pos")
+        .as[(String, Long, Int)]
+        .mapPartitions(IndexBuilder.buildPositionRows)
+        .write.mode("overwrite").parquet(s"$segDir/positions")
+
       // per-segment corpus stats: n + Σdl, with the avgdl the blocks'
       // maxImpact was computed against (liveStats uses it for the WAND
       // bound factor)

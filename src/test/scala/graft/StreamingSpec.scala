@@ -104,6 +104,23 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val stAll = hAll.stats(spark)
     assert(st.n == stAll.n && st.totalTokens == stAll.totalTokens)
     assert(st.avgdl == stAll.avgdl && factor >= 1.0)
+
+    // phrase search sees streamed docs too: segments carry positional
+    // postings; after building the batch positions stage, phrase results
+    // over the union equal the all-in-one index's
+    IndexBuilder.buildPositions(spark, all.take(50).toDS(), idx, h.mode)
+    IndexBuilder.buildPositions(spark, all.toDS(), idxAll, hAll.mode)
+    def phraseByCommit(hh: IndexBuilder.Handle, q: String): Set[(String, Double)] =
+      graft.query.Phrase.search(spark, hh, q)
+        .join(hh.docmetaAll(spark).toDF(), "docId")
+        .select(col("commit"), col("score"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val p = phraseByCommit(h, "the import")
+    assert(p == phraseByCommit(hAll, "the import"))
+    // at least one phrase match must come from the STREAMED half
+    val streamedCommits = all.drop(50).map(_.commit).toSet
+    assert(p.exists { case (c, _) => streamedCommits(c) },
+      "expected a phrase hit from the live-ingested segment")
   }
 
   test("live windowed metrics stream with watermark produces per-lang counts") {
