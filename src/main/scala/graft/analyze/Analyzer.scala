@@ -31,12 +31,20 @@ object Analyzer extends Serializable {
   /** Character trigrams layered over a base token mode. */
   final case class Trigram(base: Mode) extends Mode { val name = s"tri-${base.name}" }
 
-  /** Inverse of Mode.name (used to read a persisted index's analyzer back). */
+  /** Inverse of Mode.name (used to read a persisted index's analyzer back).
+    * An unrecognized PERSISTED name fails loudly: silently defaulting to
+    * Simple would search an index written by a newer build with the wrong
+    * tokenizer — wrong results, no error (the exact failure class the
+    * analyzer_mode file exists to prevent). Only a MISSING file defaults to
+    * Simple (legacy indexes; IndexBuilder.openHandle).
+    */
   def modeOf(name: String): Mode = name match {
+    case "simple" => Simple
     case "code" => Code
     case "tri-simple" => Trigram(Simple)
     case "tri-code" => Trigram(Code)
-    case _ => Simple
+    case other => throw new IllegalArgumentException(
+      s"unrecognized analyzer mode '$other' — index written by a newer/incompatible build?")
   }
 
   /** Simple mode: `lower(text)` split on `[^a-z0-9]+`, empties dropped —

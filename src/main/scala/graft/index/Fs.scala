@@ -1,0 +1,94 @@
+package graft.index
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side filesystem helpers routed through Hadoop's FileSystem API, so
+  * markers (`_DONE`, `_STAGE_*`, `CURRENT`), segment listings and the
+  * compaction pointer flip work identically on local disk, HDFS and object
+  * stores — the index's durability/visibility protocol must not silently
+  * no-op off the laptop. All callers are on the driver (markers are never
+  * consulted inside tasks), so resolving the Hadoop conf from the active
+  * session is safe.
+  */
+object Fs {
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.exists(p)
+  }
+
+  /** Create an empty marker file (parents created). Marker writes are the
+    * LAST step of every commit protocol — readers treat their absence as
+    * "not there yet".
+    */
+  def touch(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  def writeString(path: String, s: String): Unit = {
+    val (fs, p) = fsOf(path)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  def readString(path: String): Option[String] = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Child directories of `path` (non-recursive), sorted by name. Returns
+    * fully-qualified path strings (scheme included on non-local FS) — safe
+    * to hand to `spark.read.parquet`.
+    */
+  def listDirs(path: String): Seq[String] = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+  }
+
+  def delete(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Atomic pointer flip: write `content` to a sibling temp file, then
+    * rename it over `path` (Options.Rename.OVERWRITE — single metadata op on
+    * HDFS/local; the strongest primitive an object store offers). This is
+    * the LevelDB-CURRENT / Lucene-segments_N commit: one rename makes a new
+    * epoch and everything it implies visible together.
+    */
+  def atomicWrite(path: String, content: String): Unit = {
+    val tmp = s"$path.tmp"
+    writeString(tmp, content)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(new Path(path).toUri, conf)
+    fc.rename(new Path(tmp), new Path(path), Options.Rename.OVERWRITE)
+  }
+
+  /** Last path component (works for both `file:/x/y` and `/x/y`). */
+  def name(path: String): String = new Path(path).getName
+}

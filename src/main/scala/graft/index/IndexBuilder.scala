@@ -52,68 +52,69 @@ object IndexBuilder {
       math.min((n + cfg.docsPerSalt - 1) / math.max(cfg.docsPerSalt, 1L), 65536L).toInt)
 
   final case class Handle(dir: String, mode: Analyzer.Mode) {
+    /** Active table root: `dir` itself (genesis layout) until a compaction
+      * has committed, then the epoch directory named by `dir/CURRENT`
+      * (Compactor.scala). Resolved through the Catalog memo — a query does
+      * not pay filesystem metadata calls (Catalog.scala).
+      */
+    def root: String = Catalog.of(dir).epoch.map(e => s"$dir/$e").getOrElse(dir)
+
     def docmeta(spark: SparkSession): Dataset[DocMeta] = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/docmeta").as[DocMeta]
+      spark.read.parquet(s"$root/docmeta").as[DocMeta]
     }
     def postings(spark: SparkSession): Dataset[PostingBlock] = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/postings").as[PostingBlock]
+      spark.read.parquet(s"$root/postings").as[PostingBlock]
     }
     def termstats(spark: SparkSession): Dataset[TermStat] = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/termstats").as[TermStat]
+      spark.read.parquet(s"$root/termstats").as[TermStat]
     }
     def stats(spark: SparkSession): IndexStats = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/stats").as[IndexStats].head()
+      spark.read.parquet(s"$root/stats").as[IndexStats].head()
     }
     def lineage(spark: SparkSession): Dataset[LineageRow] = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/lineage/*").as[LineageRow]
+      spark.read.parquet(s"$root/lineage/*").as[LineageRow]
     }
 
     /** Positional postings (present only after buildPositions). */
     def positions(spark: SparkSession): Dataset[PositionsRow] = {
       import spark.implicits._
-      spark.read.parquet(s"$dir/positions").as[PositionsRow]
+      spark.read.parquet(s"$root/positions").as[PositionsRow]
     }
 
     /** Positional postings over batch ∪ streamed segments (segments always
       * carry positions — StreamingIngest writes them per batch; the batch
-      * stage is on-demand, so fail loudly rather than silently dropping
-      * phrase matches).
+      * stage is an EXPLICIT build, so fail loudly rather than silently
+      * dropping phrase matches — see buildPositions / Cli `export
+      * --positions`).
       */
     def positionsAll(spark: SparkSession): Dataset[PositionsRow] = {
       import spark.implicits._
-      require(new java.io.File(s"$dir/positions").exists(),
-        s"no positional index at $dir — run IndexBuilder.buildPositions first")
+      require(Fs.exists(s"$root/positions"),
+        s"no positional index at $dir — run `export --positions` / IndexBuilder.buildPositions first")
       val segs = segmentDirs.map(_ + "/positions")
-      segs.foreach(p => require(new java.io.File(p).exists(),
+      segs.foreach(p => require(Fs.exists(p),
         s"streamed segment lacks positions: $p"))
-      spark.read.parquet((s"$dir/positions" +: segs): _*).as[PositionsRow]
+      spark.read.parquet((s"$root/positions" +: segs): _*).as[PositionsRow]
     }
 
     // ---- streamed segments (live ingest, StreamingIngest.appendSegment) --
 
-    /** Completed streamed segments (marker-gated: a half-written replayed
-      * batch is invisible until its _DONE lands).
+    /** Completed, un-folded streamed segments (marker-gated: a half-written
+      * replayed batch is invisible until its _DONE lands; segments folded by
+      * the current epoch's compaction are excluded — Catalog.scala).
       */
-    def segmentDirs: Seq[String] = {
-      val root = new java.io.File(s"$dir/ingest_segments")
-      if (!root.isDirectory) Seq.empty
-      else root.listFiles()
-        .filter(d => d.isDirectory && new java.io.File(d, "_DONE").exists())
-        .map(_.getPath).sorted.toSeq
-    }
+    def segmentDirs: Seq[String] = Catalog.of(dir).segments
 
-    /** Fingerprint of the searchable segment set — cache keys include it so
-      * a new segment invalidates cached postings/stats.
+    /** Fingerprint of the searchable (epoch, segment set) — cache keys
+      * include it so a new segment or a compaction invalidates cached
+      * postings/stats.
       */
-    def segmentFingerprint: String = {
-      val s = segmentDirs
-      s"${s.size}:${s.hashCode.toHexString}"
-    }
+    def segmentFingerprint: String = Catalog.of(dir).fingerprint
 
     /** Batch postings ∪ all completed streamed segments' postings — ONE
       * multi-path parquet read (same schema; segment salt ids live in a
@@ -121,14 +122,14 @@ object IndexBuilder {
       */
     def postingsAll(spark: SparkSession): Dataset[PostingBlock] = {
       import spark.implicits._
-      val paths = s"$dir/postings" +: segmentDirs.map(_ + "/blocks")
+      val paths = s"$root/postings" +: segmentDirs.map(_ + "/blocks")
       spark.read.parquet(paths: _*).as[PostingBlock]
     }
 
     /** Batch docmeta ∪ streamed segments' docmeta. */
     def docmetaAll(spark: SparkSession): Dataset[DocMeta] = {
       import spark.implicits._
-      val paths = s"$dir/docmeta" +: segmentDirs.map(_ + "/docmeta")
+      val paths = s"$root/docmeta" +: segmentDirs.map(_ + "/docmeta")
       spark.read.parquet(paths: _*).as[DocMeta]
     }
 
@@ -161,7 +162,7 @@ object IndexBuilder {
     def dfFor(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
-      val paths = s"$dir/termstats" +: segmentDirs.map(_ + "/termstats")
+      val paths = s"$root/termstats" +: segmentDirs.map(_ + "/termstats")
       spark.read.parquet(paths: _*).as[TermStat]
         .filter(col("term").isin(terms: _*))
         .collect().groupBy(_.term).map { case (t, rows) => t -> rows.map(_.df).sum }
@@ -173,20 +174,21 @@ object IndexBuilder {
     * way an ES index carries its mappings, es/indices.go).
     */
   def openHandle(dir: String): Handle = {
-    val f = new java.io.File(s"$dir/analyzer_mode")
-    val mode =
-      if (f.exists())
-        Analyzer.modeOf(new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-      else Analyzer.Simple
+    // missing file = legacy index → Simple; an unrecognized PERSISTED name
+    // fails loudly in Analyzer.modeOf (searching with the wrong tokenizer
+    // would silently return wrong results).
+    val mode = Fs.readString(s"$dir/analyzer_mode")
+      .map(s => Analyzer.modeOf(s.trim))
+      .getOrElse(Analyzer.Simple)
     Handle(dir, mode)
   }
 
-  /** Id-assigned corpus (DataFrame: docId, repo, path, commit, lang,
-    * content) plus a cache-release callback (the range-sorted dataset is
+  /** Id-assigned rows plus the exact row count (free — the two-pass scheme
+    * counts per partition anyway, so callers never need a separate count()
+    * job) and a cache-release callback (the range-sorted dataset is
     * persisted so the count pass and every consumer share one shuffle+sort).
     */
-  final case class Assigned(df: DataFrame, release: () => Unit)
+  final case class Assigned(df: DataFrame, n: Long, release: () => Unit)
 
   /** Deterministic docId assignment: dense rank over the unique sort key —
     * the standard two-pass scalable pattern (range-sort, count per
@@ -203,10 +205,24 @@ object IndexBuilder {
     * (§7.4 item 1).
     */
   def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int): Assigned = {
+    val a = withDenseIds(spark, corpus.toDF(), partitions,
+      Seq("repo", "path", "commit"), "docId")
+    a.copy(df = a.df.select("docId", "repo", "path", "commit", "lang", "content"))
+  }
+
+  /** The general two-pass dense-id primitive behind assignDocIds: range-sort
+    * `input` by `keys`, count per partition, cumulative offsets, then
+    * `idCol` = offset + per-partition row index — all column expressions
+    * (see assignDocIds' scaladoc for why this is deterministic at any
+    * parallelism). Also used by the compactor to re-rank the batch∪segments
+    * union without touching content.
+    */
+  def withDenseIds(spark: SparkSession, input: DataFrame, partitions: Int,
+                   keys: Seq[String], idCol: String): Assigned = {
     import spark.implicits._
-    val sorted = corpus.toDF()
-      .repartitionByRange(partitions, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
+    val sorted = input
+      .repartitionByRange(partitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
@@ -221,9 +237,9 @@ object IndexBuilder {
     }
     val df = sorted.select(
       (element_at(typedLit(offsets.toSeq), spark_partition_id() + 1) +
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))).as("docId"),
-      $"repo", $"path", $"commit", $"lang", $"content")
-    Assigned(df, () => { sorted.unpersist(blocking = false); () })
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))).as(idCol)
+        +: input.columns.map(col): _*)
+    Assigned(df, acc, () => { sorted.unpersist(blocking = false); () })
   }
 
   private def hashRow(parts: Any*): Long =
@@ -252,12 +268,9 @@ object IndexBuilder {
     val parts = if (cfg.partitions > 0) cfg.partitions
       else spark.sessionState.conf.numShufflePartitions
     val mode = cfg.mode
-    val fs = new java.io.File(dir)
-    fs.mkdirs()
     // persist the analyzer mode so readers (Cli search/stats, openHandle)
     // never have to guess how the index was tokenized
-    java.nio.file.Files.write(new java.io.File(dir, "analyzer_mode").toPath,
-      mode.name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Fs.writeString(s"$dir/analyzer_mode", mode.name)
 
     // docmeta and postings both need the id-assigned corpus; share one
     // materialization (the sorted-cache inside assignDocIds) instead of
@@ -362,20 +375,25 @@ object IndexBuilder {
     Handle(dir, mode)
   }
 
-  /** OPTIONAL positional index stage (built on demand by phrase search, not
-    * part of the default build — it shuffles every token OCCURRENCE, not
-    * just distinct (term, doc) pairs, so it costs more than all other
-    * stages combined and most queries never need it). One row per
-    * (term, docId): the 0-based token positions, delta+varint encoded.
-    * docIds re-derive identically from the data (assignDocIds is a pure
-    * function of the corpus), so the stage can be added to an existing
-    * index at any time; marker + lineage-free row-count check make it
-    * idempotent like the core stages.
+  /** OPTIONAL positional index stage — an EXPLICIT build (CLI: `export
+    * --positions`; not part of the default build, and a phrase query on an
+    * index without it fails loudly rather than launching it implicitly: it
+    * shuffles every token OCCURRENCE, not just distinct (term, doc) pairs,
+    * so it costs more than all other stages combined and an innocent query
+    * must not be able to trigger the most expensive stage of the system).
+    * One row per (term, docId): the 0-based token positions, delta+varint
+    * encoded. docIds re-derive identically from the data (assignDocIds is a
+    * pure function of the corpus — and the compactor's re-rank over
+    * batch∪segments yields the same dense ids as a build over the union
+    * corpus), so the stage can be added to an existing index at any time;
+    * marker + idempotent overwrite make replays safe. Writes into the
+    * handle's ACTIVE root (genesis dir or current epoch).
     */
   def buildPositions(spark: SparkSession, corpus: Dataset[CorpusDoc], dir: String,
                      mode: Analyzer.Mode, partitions: Int = 0): Unit = {
     import spark.implicits._
-    if (new java.io.File(s"$dir/_STAGE_positions").exists()) return
+    val root = Handle(dir, mode).root
+    if (Fs.exists(s"$root/_STAGE_positions")) return
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val assigned = assignDocIds(spark, corpus, parts)
@@ -394,8 +412,8 @@ object IndexBuilder {
         .sortWithinPartitions($"term", $"docId", $"pos")
         .as[(String, Long, Int)]
         .mapPartitions(buildPositionRows)
-        .write.mode("overwrite").parquet(s"$dir/positions")
-      touch(s"$dir/_STAGE_positions")
+        .write.mode("overwrite").parquet(s"$root/positions")
+      Fs.touch(s"$root/_STAGE_positions")
     } finally assigned.release()
   }
 
@@ -485,7 +503,7 @@ object IndexBuilder {
     x ^ (x >>> 31)
   }
 
-  private def newLineageAcc(spark: SparkSession, stage: String) =
+  private[index] def newLineageAcc(spark: SparkSession, stage: String) =
     spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$stage")
 
   /** Wraps a partition iterator to tally one LineageRow per partition into
@@ -494,7 +512,7 @@ object IndexBuilder {
     * partition; tallies are a pure function of that partition's data, so
     * duplicates are identical and deduped by partitionId on the driver.
     */
-  private def tally[T](acc: org.apache.spark.util.CollectionAccumulator[LineageRow],
+  private[index] def tally[T](acc: org.apache.spark.util.CollectionAccumulator[LineageRow],
                        stage: String)(
       docIdMin: T => Long, docIdMax: T => Long, terms: T => Long,
       bytes: T => Long, hash: T => Long): Iterator[T] => Iterator[T] = { it =>
@@ -532,7 +550,7 @@ object IndexBuilder {
     * against the actual table (SURVEY.md §7.4 item 5: never trust file
     * existence alone).
     */
-  private def writeLineageRows(spark: SparkSession, dir: String, stage: String,
+  private[index] def writeLineageRows(spark: SparkSession, dir: String, stage: String,
                                rows: java.util.List[LineageRow]): Unit = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
@@ -541,13 +559,7 @@ object IndexBuilder {
     // One lineage directory per stage, overwritten on recompute — so a
     // retried stage never leaves stale lineage that would break validation.
     dedup.toDS().coalesce(1).write.mode("overwrite").parquet(s"$dir/lineage/$stage")
-    touch(s"$dir/_STAGE_$stage")
-  }
-
-  private def touch(path: String): Unit = {
-    val f = new java.io.File(path)
-    f.getParentFile.mkdirs()
-    java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+    Fs.touch(s"$dir/_STAGE_$stage")
   }
 
   /** A stage is complete iff its marker exists AND its lineage rows exist
@@ -555,7 +567,7 @@ object IndexBuilder {
     * stats-command reconciliation analog (commands/stats.go:44-64).
     */
   def stageComplete(spark: SparkSession, dir: String, stage: String): Boolean = {
-    if (!new java.io.File(s"$dir/_STAGE_$stage").exists()) return false
+    if (!Fs.exists(s"$dir/_STAGE_$stage")) return false
     try {
       import spark.implicits._
       val lin = spark.read.parquet(s"$dir/lineage/$stage").as[LineageRow]

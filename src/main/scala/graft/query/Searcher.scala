@@ -24,30 +24,33 @@ object Searcher {
 
   // Caches are keyed per SparkSession (graft.SessionCache — sweeps stopped
   // sessions, since Dataset values pin their session and defeat plain weak
-  // keying) and per (dir, segment fingerprint): a newly ingested segment
-  // changes the fingerprint and invalidates; stale same-dir entries are
-  // evicted, not leaked.
+  // keying) and per (dir, catalog fingerprint): a newly ingested segment or
+  // a compaction changes the fingerprint and invalidates; stale same-dir
+  // entries are evicted, not leaked.
   private val statsCache = new graft.SessionCache[(graft.index.IndexStats, Double)]
-  private val postingsCache = new graft.SessionCache[Dataset[PostingBlock]]
+  // per-(dir, fp, term) COLLECTED posting blocks for the coordinator path —
+  // bounded by MaxCachedPostings, so first-query cost (and residency) scales
+  // with query df, never with index size. The index itself is NOT cached:
+  // the base plan stays a pushed-down, row-group-pruned parquet scan.
+  private val blockCache = new graft.SessionCache[Array[PostingBlock]]
+  // per-(dir, fp, term) df memo (0 = term absent) — a warm repeated query
+  // runs ZERO Spark jobs before the final top-k materialization.
+  private val dfCache = new graft.SessionCache[java.lang.Long]
+  // opt-in full residency (spark.graft.index.residentPostings=true) for
+  // small fully-resident deployments; default OFF — at 100 TB a first query
+  // must not materialize the whole index into executor storage.
+  private val residentCache = new graft.SessionCache[Dataset[PostingBlock]]
+
+  /** Upper bound on postings held in the driver-side block cache (~tens of
+    * MB decoded). Exceeding inserts clear the dir's entries first; a single
+    * query whose blocks alone exceed the bound is served but not cached.
+    */
+  val MaxCachedPostings: Long = 4000000L
 
   private def evictStale[T](m: scala.collection.concurrent.TrieMap[String, T],
-                            dir: String, key: String)(clean: T => Unit): Unit =
-    m.keys.filter(k => k.startsWith(s"$dir|") && k != key).foreach { stale =>
-      m.remove(stale).foreach(clean)
-    }
-
-  // postings (batch ∪ completed streamed segments) kept hot per index —
-  // a search engine keeps its index resident; repeated queries then pay
-  // only the filter + WAND, not the parquet scan
-  private def hotPostings(spark: SparkSession, h: IndexBuilder.Handle,
-                          fp: String): Dataset[PostingBlock] = {
-    val m = postingsCache(spark)
-    val key = s"${h.dir}|$fp"
-    m.getOrElseUpdate(key, {
-      evictStale(m, h.dir, key)(_.unpersist(blocking = false))
-      h.postingsAll(spark).cache()
-    })
-  }
+                            dir: String, keepPrefix: String)(clean: T => Unit): Unit =
+    m.keys.filter(k => k.startsWith(s"$dir|") && !k.startsWith(keepPrefix))
+      .foreach { stale => m.remove(stale).foreach(clean) }
 
   private def liveStats(spark: SparkSession, h: IndexBuilder.Handle,
                         fp: String): (graft.index.IndexStats, Double) = {
@@ -56,6 +59,70 @@ object Searcher {
     m.getOrElseUpdate(key, {
       evictStale(m, h.dir, key)(_ => ())
       h.liveStats(spark)
+    })
+  }
+
+  /** Per-term df with memoization; misses resolved in ONE pruned
+    * termstats scan for just the missing terms (Handle.dfFor).
+    */
+  private def dfForCached(spark: SparkSession, h: IndexBuilder.Handle, fp: String,
+                          terms: Seq[String]): Map[String, Long] = {
+    val m = dfCache(spark)
+    val prefix = s"${h.dir}|$fp|"
+    evictStale(m, h.dir, prefix)(_ => ())
+    val missing = terms.filterNot(t => m.contains(prefix + t))
+    if (missing.nonEmpty) {
+      val fetched = h.dfFor(spark, missing)
+      missing.foreach(t => m.put(prefix + t, Long.box(fetched.getOrElse(t, 0L))))
+    }
+    terms.iterator.map(t => t -> m(prefix + t).longValue()).toMap
+  }
+
+  /** Collected blocks for `terms`, served from the bounded per-term cache;
+    * misses fetched in ONE filtered collect (pushed-down pruned scan over
+    * exactly the missing terms). Residency is bounded by query df — a hot
+    * repeated term costs its own postings once, and the whole cache never
+    * exceeds MaxCachedPostings.
+    */
+  private def blocksFor(spark: SparkSession, h: IndexBuilder.Handle, fp: String,
+                        terms: Seq[String]): Seq[PostingBlock] = {
+    val m = blockCache(spark)
+    val prefix = s"${h.dir}|$fp|"
+    evictStale(m, h.dir, prefix)(_ => ())
+    val missing = terms.filterNot(t => m.contains(prefix + t))
+    val fetched: Map[String, Array[PostingBlock]] =
+      if (missing.isEmpty) Map.empty
+      else h.postingsAll(spark).filter(col("term").isin(missing: _*))
+        .collect().groupBy(_.term)
+    if (missing.nonEmpty) {
+      var cached = m.values.iterator.map(_.iterator.map(_.n.toLong).sum).sum
+      missing.foreach { t =>
+        val arr = fetched.getOrElse(t, Array.empty[PostingBlock])
+        val incoming = arr.iterator.map(_.n.toLong).sum
+        if (cached + incoming > MaxCachedPostings) {
+          m.keys.filter(_.startsWith(s"${h.dir}|")).foreach(m.remove)
+          cached = 0L
+        }
+        if (incoming <= MaxCachedPostings) {
+          m.put(prefix + t, arr)
+          cached += incoming
+        }
+      }
+    }
+    terms.flatMap { t =>
+      val arr: Array[PostingBlock] =
+        m.get(prefix + t).orElse(fetched.get(t)).getOrElse(Array.empty)
+      arr
+    }
+  }
+
+  private def residentPostings(spark: SparkSession, h: IndexBuilder.Handle,
+                               fp: String): Dataset[PostingBlock] = {
+    val m = residentCache(spark)
+    val key = s"${h.dir}|$fp"
+    m.getOrElseUpdate(key, {
+      evictStale(m, h.dir, key)(_.unpersist(blocking = false))
+      h.postingsAll(spark).cache()
     })
   }
 
@@ -98,10 +165,10 @@ object Searcher {
     * k = Int.MaxValue ⇒ exhaustive: every matching doc, ranked.
     *
     * Execution is adaptive: small posting volume (Σdf over query terms) →
-    * coordinator-side WAND over collected blocks (one job: pruned parquet
-    * scan + collect); large → distributed per-salt WAND + global
-    * TakeOrderedAndProject merge. Results are identical — salts are
-    * disjoint sub-indexes either way.
+    * coordinator-side WAND over (cached) collected blocks — zero Spark jobs
+    * when the terms are warm; large → distributed per-salt WAND over a
+    * pushed-down pruned scan + global TakeOrderedAndProject merge. Results
+    * are identical — salts are disjoint sub-indexes either way.
     */
   def topK(spark: SparkSession, h: IndexBuilder.Handle, query: String, k: Int,
            conjunctive: Boolean = false,
@@ -113,21 +180,31 @@ object Searcher {
     val n = st.n
     val avgdl = st.avgdl
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    // df per query term over batch ∪ segments — collected (tiny) then
+    // df per query term over batch ∪ segments — memoized (tiny) then
     // broadcast to tasks
-    val dfs: Map[String, Long] = h.dfFor(spark, terms)
+    val dfs: Map[String, Long] = dfForCached(spark, h, fp, terms)
     val idfs: Map[String, Double] =
       terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
     val conj = conjunctive
     val nTerms = terms.length
-    val matching = hotPostings(spark, h, fp).filter($"term".isin(terms: _*))
+    val resident = spark.conf.getOption("spark.graft.index.residentPostings")
+      .contains("true")
 
     if (dfs.values.sum <= driverPathMaxPostings) {
-      val hits = saltWand(matching.collect(), idfs, avgdl, k, conj, nTerms, boundFactor)
+      val blocks: Seq[PostingBlock] =
+        if (resident)
+          residentPostings(spark, h, fp).filter($"term".isin(terms: _*)).collect().toSeq
+        else blocksFor(spark, h, fp, terms)
+      val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor)
         .toArray.sortBy { case (d, s) => (-s, d) }
       val top = if (k == Int.MaxValue) hits else hits.take(k)
       spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
     } else {
+      // large-df path: NO caching by design — this is the regime where the
+      // posting volume is a meaningful corpus fraction, so the right plan is
+      // the pushed-down pruned scan feeding the per-salt WAND, not residency
+      val base = if (resident) residentPostings(spark, h, fp) else h.postingsAll(spark)
+      val matching = base.filter($"term".isin(terms: _*))
       val bIdfs = spark.sparkContext.broadcast(idfs)
       val perSalt: Dataset[Hit] = matching
         .groupByKey(_.salt)

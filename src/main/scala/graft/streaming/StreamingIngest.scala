@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.analyze.Analyzer
-import graft.index.{CorpusDoc, IndexBuilder, IndexStats}
+import graft.index.{Catalog, CorpusDoc, DocMeta, Fs, IndexBuilder, IndexStats}
 
 /** Live ingest (reference: `ingest` command, commands/ingest.go:22-54) —
   * the Go side is a 1-second poll loop whose whole point is that ingested
@@ -78,6 +78,19 @@ object StreamingIngest {
     * Deterministic within a batch: docIds are the dense rank of
     * (repo, path, commit) from the two-pass assignDocIds (NO global
     * single-partition window), offset into the batch's reserved id range.
+    *
+    * Job budget (the reference's cadence is a 1-second poll loop, so the
+    * per-batch Spark-job count is the latency driver): exactly FOUR jobs
+    * touch data — the assignDocIds count pass (which also materializes the
+    * sorted cache all three writers reuse) and the docmeta / blocks /
+    * positions writes. Everything else rides those jobs: the batch count
+    * comes from assignDocIds' per-partition counts, Σdl is tallied by an
+    * accumulator inside the docmeta write, and per-term df/maxImpact by an
+    * accumulator inside the blocks write (both deduped by partitionId — the
+    * tallies are pure functions of a partition's data, so task-retry
+    * duplicates are identical). stats/termstats then write from driver-local
+    * rows with no table re-read. (The first version ran ~8 jobs incl. two
+    * full re-reads and overran the 1 s trigger.)
     */
   private[graft] def appendSegment(spark: SparkSession, batch: Dataset[CorpusDoc],
                                        batchId: Long, indexDir: String, avgdl: Double,
@@ -86,17 +99,17 @@ object StreamingIngest {
     import spark.implicits._
     val segDir = s"$indexDir/ingest_segments/batch=$batchId"
     // replayed batch (foreachBatch is at-least-once): already committed → skip
-    if (new java.io.File(s"$segDir/_DONE").exists()) return
-    if (batch.isEmpty) return
-    val cnt = batch.count()
-    require(cnt < (1L << 20), s"micro-batch of $cnt docs exceeds the reserved id range")
-    val base = baseDocId + batchId * (1L << 20)
-    val saltBase = SegmentSaltBase.toLong + batchId * salts
-    require(saltBase + salts <= Int.MaxValue, s"segment salt namespace exhausted at batch $batchId")
+    if (Fs.exists(s"$segDir/_DONE")) return
     val parts = spark.sessionState.conf.numShufflePartitions
-
     val assigned = IndexBuilder.assignDocIds(spark, batch, parts)
     try {
+      val cnt = assigned.n
+      if (cnt == 0) return
+      require(cnt < (1L << 20), s"micro-batch of $cnt docs exceeds the reserved id range")
+      val base = baseDocId + batchId * (1L << 20)
+      val saltBase = SegmentSaltBase.toLong + batchId * salts
+      require(saltBase + salts <= Int.MaxValue, s"segment salt namespace exhausted at batch $batchId")
+
       // foreachBatch hands a Dataset bound to the stream's CLONED session —
       // temp functions must be registered there, not (only) on the outer one
       graft.functions.TokenStats.register(batch.sparkSession)
@@ -108,10 +121,18 @@ object StreamingIngest {
         (lit(saltBase) + least(floor($"docId" * salts / cnt), lit(salts - 1)))
           .cast("int").as("salt"))
 
-      val meta = withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
-        tokenStats.getField("dl").as("dl"), sha2($"content", 256).as("sha256"))
-      meta.write.mode("overwrite").parquet(s"$segDir/docmeta")
+      // job 1: docmeta write, Σdl tallied in-flight (no re-read job)
+      val dlAcc = spark.sparkContext
+        .collectionAccumulator[(Int, Long)](s"segment-dl-$batchId")
+      withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
+          tokenStats.getField("dl").as("dl"), sha2($"content", 256).as("sha256"))
+        .as[DocMeta]
+        .mapPartitions(perPartitionTally[DocMeta, Long](dlAcc, 0L)((s, m) => s + m.dl))
+        .write.mode("overwrite").parquet(s"$segDir/docmeta")
 
+      // job 2: blocks write, per-term (df, maxImpact) tallied in-flight
+      val tsAcc = spark.sparkContext
+        .collectionAccumulator[(Int, Map[String, (Long, Double)])](s"segment-ts-$batchId")
       val tokens = withIds
         .select($"docId", $"salt", tokenStats.as("ts"))
         .select($"docId", $"salt", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
@@ -121,12 +142,17 @@ object StreamingIngest {
         .sortWithinPartitions($"term", $"salt", $"docId")
         .as[graft.index.TermDoc]
         .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
+        .mapPartitions(perPartitionTally[graft.index.PostingBlock,
+            Map[String, (Long, Double)]](tsAcc, Map.empty) { (m, b) =>
+          val (df0, mi0) = m.getOrElse(b.term, (0L, 0.0))
+          m.updated(b.term, (df0 + b.n, math.max(mi0, b.maxImpact)))
+        })
         .write.mode("overwrite").parquet(s"$segDir/blocks")
 
-      // positional postings for the segment — phrase search over the live
-      // union must see streamed docs too (the batch positions stage is
-      // on-demand; per-batch occurrence volume is small, so segments carry
-      // positions unconditionally)
+      // job 3: positional postings for the segment — phrase search over the
+      // live union must see streamed docs too (the batch positions stage is
+      // an explicit build; per-batch occurrence volume is small, so segments
+      // carry positions unconditionally)
       withIds.select($"docId", $"content").as[(Long, String)]
         .flatMap { case (docId, content) =>
           val ts = Analyzer.tokens(content, mode)
@@ -138,23 +164,57 @@ object StreamingIngest {
         .mapPartitions(IndexBuilder.buildPositionRows)
         .write.mode("overwrite").parquet(s"$segDir/positions")
 
-      // per-segment corpus stats: n + Σdl, with the avgdl the blocks'
-      // maxImpact was computed against (liveStats uses it for the WAND
-      // bound factor)
-      val tok = spark.read.parquet(s"$segDir/docmeta")
-        .agg(sum($"dl")).head().getLong(0)
+      // driver-local writes (tiny): per-segment corpus stats — n + Σdl, with
+      // the avgdl the blocks' maxImpact was computed against (liveStats uses
+      // it for the WAND bound factor) — and per-term stats, both from the
+      // accumulators deduped by partitionId
+      import scala.jdk.CollectionConverters._
+      val tok = dlAcc.value.asScala.groupBy(_._1).map(_._2.head._2).sum
       Seq(IndexStats(cnt, avgdl, tok)).toDS()
         .write.mode("overwrite").parquet(s"$segDir/stats")
 
-      spark.read.parquet(s"$segDir/blocks")
-        .groupBy($"term")
-        .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
-        .write.mode("overwrite").parquet(s"$segDir/termstats")
+      val termstats = tsAcc.value.asScala.groupBy(_._1).map(_._2.head._2)
+        .foldLeft(Map.empty[String, (Long, Double)]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (t, (df, mi))) =>
+            val (df0, mi0) = a.getOrElse(t, (0L, 0.0))
+            a.updated(t, (df0 + df, math.max(mi0, mi)))
+          }
+        }
+      termstats.toSeq.map { case (t, (df, mi)) => (t, df, mi) }
+        .toDF("term", "df", "maxImpact")
+        .coalesce(1).write.mode("overwrite").parquet(s"$segDir/termstats")
 
       // marker LAST: readers treat marker-less segments as not-yet-ingested
-      java.nio.file.Files.write(new java.io.File(s"$segDir/_DONE").toPath,
-        Array.emptyByteArray)
+      Fs.touch(s"$segDir/_DONE")
+      Catalog.invalidate(indexDir)
     } finally assigned.release()
+  }
+
+  /** Wraps a partition iterator to fold rows into a per-partition tally and
+    * add ONE (partitionId, tally) entry to `acc` as the writer drains the
+    * stream — the driver dedupes by partitionId (task retries re-tally the
+    * same data). Same pattern as IndexBuilder's lineage `tally`.
+    */
+  private def perPartitionTally[T, S](
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, S)], zero: S)(
+      foldRow: (S, T) => S): Iterator[T] => Iterator[T] = { it =>
+    new Iterator[T] {
+      private val pid = org.apache.spark.TaskContext.getPartitionId()
+      private var s = zero
+      private var any = false
+      private var emitted = false
+      def hasNext: Boolean = {
+        val hn = it.hasNext
+        if (!hn && !emitted) { emitted = true; if (any) acc.add((pid, s)) }
+        hn
+      }
+      def next(): T = {
+        val t = it.next()
+        s = foldRow(s, t)
+        any = true
+        t
+      }
+    }
   }
 
   /** Live metrics stream (the reference's `stats`/`es-stats` loop as a
