@@ -13,9 +13,10 @@ import graft.streaming.StreamingIngest
   *
   *   graft.Cli create-index <indexDir> [--force]
   *   graft.Cli export <srcDir> <indexDir> [--mode simple|code|trigram]
-  *             [--salts N] [--partitions N] [--dry-run] [--verbose]
+  *             [--salts N] [--partitions N] [--positions] [--dry-run] [--verbose]
   *   graft.Cli ingest <srcDir> <indexDir> <checkpointDir> [--seconds S]
   *   graft.Cli stats <indexDir>
+  *   graft.Cli compact <indexDir>     (fold streamed segments into the batch index)
   *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
   *   graft.Cli search <indexDir> <k> <query terms...> [--and]
   *
@@ -88,6 +89,11 @@ object Cli {
           partitions = opt(rest, "--partitions", "0").toInt,
           mode = mode)
         val h = IndexBuilder.build(spark, corpus, indexDir, cfg)
+        // positional tier is an EXPLICIT opt-in: it shuffles every token
+        // occurrence (costs more than all other stages combined), so only
+        // --positions builds it; phrase queries without it fail loudly.
+        if (flag(rest, "--positions"))
+          IndexBuilder.buildPositions(spark, corpus, indexDir, mode, cfg.partitions)
         val st = h.stats(spark)
         println(s"indexed n=${st.n} docs, avgdl=${st.avgdl}, tokens=${st.totalTokens} -> $indexDir")
       }
@@ -100,6 +106,19 @@ object Cli {
       q.awaitTermination(secs * 1000L)
       q.stop()
       println(s"ingest stopped; segments under $indexDir/ingest_segments")
+
+    case "compact" :: indexDir :: _ =>
+      // fold completed streamed segments into the batch index (new epoch,
+      // atomic CURRENT flip — Compactor.scala); the ES background-merge
+      // analog, here an explicit maintenance command.
+      val before = IndexBuilder.openHandle(indexDir).segmentDirs.size
+      if (before == 0) println("nothing to compact (no live segments)")
+      else {
+        val h = graft.index.Compactor.compact(spark, indexDir)
+        val st = h.stats(spark)
+        println(s"compacted $before segment(s) -> ${h.root} " +
+          s"(n=${st.n}, avgdl=${st.avgdl}); live segments now ${h.segmentDirs.size}")
+      }
 
     case "reconcile" :: indexDir :: _ =>
       // TWO-SIDED reconciliation (the es-stats analog, commands/stats.go:
@@ -114,7 +133,7 @@ object Cli {
       for (stage <- Seq("docmeta", "stats", "postings", "termstats")) {
         val expected = lin.get(stage).map(_.map(_.rows).sum).getOrElse(-1L)
         val actual =
-          try spark.read.parquet(s"$indexDir/$stage").count()
+          try spark.read.parquet(s"${h.root}/$stage").count()
           catch { case _: Throwable => -2L }
         val ok = expected == actual
         if (!ok) bad += 1
@@ -161,8 +180,9 @@ object Cli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: create-index <dir> [--force] |
-           |       export <src> <dir> [--mode m] [--dry-run] [--verbose] |
+           |       export <src> <dir> [--mode m] [--positions] [--dry-run] [--verbose] |
            |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
-           |       reconcile <dir> | search <dir> <k> <terms...> [--and]""".stripMargin)
+           |       compact <dir> | reconcile <dir> |
+           |       search <dir> <k> <terms...> [--and]""".stripMargin)
   }
 }

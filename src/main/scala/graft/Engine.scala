@@ -58,6 +58,30 @@ object Engine {
     })
   }
 
+  /** The streamed fixture, then compacted (Compactor.compact): all segments
+    * folded into a new epoch whose tables equal a fresh build over the full
+    * corpus — so the same full-corpus oracle must hold, now over a
+    * single-table (post-merge) index. The epoch guard keeps re-runs from
+    * re-appending a segment name the folded list already excludes.
+    */
+  def compactedIndexFor(spark: SparkSession, sfDir: String): IndexBuilder.Handle = {
+    import spark.implicits._
+    sessionCache(spark).getOrElseUpdate(s"$sfDir|compacted", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index/$FormatVersion-compacted-$key"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def corpusOf(df: DataFrame) = Corpus.fromDocumentsDf(spark, df)
+      val h = IndexBuilder.build(spark, corpusOf(docs.filter($"doc_id" % 5 =!= 0)), dir)
+      if (graft.index.Catalog.of(dir).epoch.isEmpty && h.segmentDirs.isEmpty) {
+        graft.streaming.StreamingIngest.appendSegment(
+          spark, corpusOf(docs.filter($"doc_id" % 5 === 0)), batchId = 0L,
+          indexDir = dir, avgdl = h.stats(spark).avgdl, salts = 4,
+          baseDocId = 1L << 40, mode = h.mode)
+      }
+      graft.index.Compactor.compact(spark, dir)
+    })
+  }
+
   /** Quantize a double score to a long at 4 decimals — identical float ops
     * (`floor(x*10000 + 0.5)`) in Spark and the DuckDB oracle, so hashing
     * longs compares robustly where raw doubles could differ in the last ulp

@@ -185,6 +185,16 @@ object SparkEntry {
         s, graft.corpus.Corpus.fromDocuments(s, dir), h.dir, h.mode)
       Engine.hitsAsDocIds(s, h, graft.query.Phrase.search(s, h, "join order"))
     },
+    // segment compaction (the ES background-merge analog, Compactor.scala):
+    // batch index over 80% + one streamed segment, then compact — all
+    // segments fold into a new epoch (re-ranked dense docIds, main salt
+    // scheme, maxImpact at the union avgdl, atomic CURRENT flip). The
+    // compacted single-table index must still equal the full-corpus oracle.
+    "ft_compacted_search" -> { (s, dir) =>
+      val h = Engine.compactedIndexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Searcher.topK(s, h, "merge batch", Int.MaxValue).toDF())
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
     // when the index has no positions; ft_phrase_positional is the
@@ -259,6 +269,16 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // IVF ANN under the oracle: with nprobe = lists the probe is exhaustive,
+    // so the result is exactly the brute-force top-k arithmetic — which
+    // makes the whole buildIvf → partitioned-layout → probe → rescore
+    // pipeline oracle-checkable (the partition-PRUNED plan property is
+    // asserted in OpsSpec; ann_ivf_probe below exercises default pruning).
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, lists = 16, nprobe = 16)),
+    // default approximate probe (nprobe < lists): reads only nprobe/lists of
+    // the table via PartitionFilters — rows-only check (recall vs brute is
+    // asserted in OpsSpec), like the other approximate ops.
+    "ann_ivf_probe" -> ((s, d) => Similarity.ivfTopK(s, d, lists = 16, nprobe = 4)),
     "ann_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -288,6 +308,8 @@ object SparkEntry {
     "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
     // the streamed-union search must equal BM25 over the FULL corpus
     "ft_streamed_search" -> bm25Sql(Seq("data", "stream"), conjunctive = false),
+    // ...and so must the COMPACTED index (segments folded into one epoch)
+    "ft_compacted_search" -> bm25Sql(Seq("batch", "merge"), conjunctive = false),
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q
@@ -504,6 +526,21 @@ object SparkEntry {
     // pair set when recall = 1 on this (deterministic) data; asserted in
     // OpsSpec locally, then safe to oracle-check with the exact SQL.
     "dedup_minhash_lsh" -> jaccardSql,
+    // exhaustive-probe IVF ≡ brute-force cosine top-k (same arithmetic,
+    // same quantization/ordering) — the oracle checks the full IVF pipeline
+    "ann_ivf_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |s AS (
+        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
+        |         (SELECT sum(v * v) FROM q) AS nq
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (
         |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v

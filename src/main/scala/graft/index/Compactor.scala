@@ -1,0 +1,174 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IndexBuilder.{Config, Handle}
+
+/** Streamed-segment compaction: folds every completed `ingest_segments`
+  * entry back into the batch index, producing a new EPOCH whose tables are
+  * bit-identical to a fresh `IndexBuilder.build` over the union corpus —
+  * without re-tokenizing anything (tokenization dominates build cost; the
+  * fold re-uses the stored dl/sha256/tf and only re-ranks, re-salts and
+  * re-blocks). Reference analog: the ES/Lucene background segment merge the
+  * reference delegates to (SURVEY.md §3.1); without it a long-running
+  * 1 s-trigger ingest accumulates one segment per micro-batch forever and
+  * per-query listing/union cost grows with uptime, while the WAND bound
+  * factor (liveStats) only degrades.
+  *
+  * What the fold restores:
+  *  - ONE postings/docmeta/termstats table again (no per-query multi-path
+  *    unions, no per-segment stats collection);
+  *  - docIds re-densified to [0, n): the dense rank over
+  *    (repo, path, commit) of the union — exactly what a fresh build over
+  *    the union assigns, so salts return to the main docId-range scheme;
+  *  - maxImpact recomputed at the union avgdl ⇒ liveStats' WAND bound
+  *    factor returns to exactly 1.0 (full pruning again).
+  *
+  * Commit protocol (LevelDB CURRENT / Lucene segments_N analog): all new
+  * tables + lineage are written under `dir/epoch-N/`, the epoch records
+  * which segments it folded (`folded_segments`), and ONE atomic rename of
+  * the `CURRENT` pointer makes the epoch active and the folded segments
+  * invisible together (Catalog.load reads both from the same pointer).
+  * Crash before the flip: the half-written epoch dir is inert garbage,
+  * overwritten by the next attempt. Crash after: consistent; folded segment
+  * directories are deleted lazily on the next compact/cleanup. The genesis
+  * tables (`dir/docmeta` etc.) are retained as the resume base for
+  * `IndexBuilder.build`'s stage markers; prior epoch dirs are deleted.
+  */
+object Compactor {
+
+  private def epochName(k: Int): String = f"epoch-$k%06d"
+
+  private def parseEpoch(name: String): Int =
+    name.stripPrefix("epoch-").toInt
+
+  /** Fold all live streamed segments into a new epoch. No-op (returns the
+    * handle unchanged) when there is nothing to fold. `cfg` supplies the
+    * salt scheme — pass the same values the batch build used so the folded
+    * epoch is bit-identical to a fresh build over the union.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle = {
+    import spark.implicits._
+    val h = IndexBuilder.openHandle(dir)
+    val segs = h.segmentDirs
+    if (segs.isEmpty) return h
+    val state = Catalog.of(dir)
+    val oldRoot = h.root
+    val newEpoch = epochName(state.epoch.map(parseEpoch).getOrElse(0) + 1)
+    val newRoot = s"$dir/$newEpoch"
+    Fs.delete(newRoot) // stale crashed attempt, if any
+    val parts = if (cfg.partitions > 0) cfg.partitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // ---- docmeta: union → re-rank to dense [0, n) ------------------------
+    // Same two-pass dense-id primitive as the build, over the stored keys —
+    // content is never read, dl/sha256 ride along.
+    val union = spark.read
+      .parquet((s"$oldRoot/docmeta" +: segs.map(_ + "/docmeta")): _*)
+      .withColumnRenamed("docId", "oldDocId")
+    val assigned = IndexBuilder.withDenseIds(spark, union, parts,
+      Seq("repo", "path", "commit"), "docId")
+    try {
+      val n = assigned.n
+      val dmAcc = IndexBuilder.newLineageAcc(spark, "docmeta")
+      assigned.df
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha256")
+        .as[DocMeta]
+        .mapPartitions(IndexBuilder.tally(dmAcc, "docmeta")(
+          m => m.docId, m => m.docId, m => m.dl.toLong,
+          m => 48L + m.repo.length + m.path.length,
+          m => IndexBuilder.mix3(m.docId,
+            java.lang.Long.parseLong(m.sha256.substring(0, 15), 16),
+            m.commit.hashCode.toLong)))
+        .write.mode("overwrite").parquet(s"$newRoot/docmeta")
+      IndexBuilder.writeLineageRows(spark, newRoot, "docmeta", dmAcc.value)
+
+      // ---- stats: derived from the docmeta lineage tallies (no re-scan) --
+      import scala.jdk.CollectionConverters._
+      val tot = dmAcc.value.asScala.groupBy(_.partitionId)
+        .map(_._2.head.termCount).sum
+      val avgdl = tot.toDouble / n.toDouble
+      Seq(IndexStats(n, avgdl, tot)).toDS()
+        .write.mode("overwrite").parquet(s"$newRoot/stats")
+      IndexBuilder.writeLineageRows(spark, newRoot, "stats",
+        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
+
+      // ---- postings: decode → remap docIds → re-salt → re-block ----------
+      // The remap (oldDocId → docId, two longs per doc) is the only join;
+      // AQE broadcasts it while it fits and falls back to a shuffle join on
+      // docId at scale. Shuffle volume = distinct (term, doc) pairs — the
+      // same as the build's postings stage, minus tokenization.
+      val salts = IndexBuilder.effectiveSalts(cfg, n)
+      val remap = assigned.df.select($"oldDocId", $"docId")
+      val decoded = spark.read
+        .parquet((s"$oldRoot/postings" +: segs.map(_ + "/blocks")): _*)
+        .as[PostingBlock]
+        .flatMap { b =>
+          val ds = Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
+          val tfs = Codec.decodeInts(b.tfs, b.n)
+          val dls = Codec.decodeInts(b.dls, b.n)
+          Iterator.tabulate(b.n)(i => (b.term, ds(i), tfs(i), dls(i)))
+        }.toDF("term", "oldDocId", "tf", "dl")
+      val poAcc = IndexBuilder.newLineageAcc(spark, "postings")
+      decoded.join(remap, "oldDocId")
+        .select($"term",
+          least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
+            .cast("int").as("salt"),
+          $"docId", $"tf", $"dl")
+        .repartition(parts, $"term", $"salt")
+        .sortWithinPartitions($"term", $"salt", $"docId")
+        .as[TermDoc]
+        .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
+        .mapPartitions(IndexBuilder.tally(poAcc, "postings")(
+          b => b.firstDocId, b => b.lastDocId, _ => 1L,
+          b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
+          b => IndexBuilder.mix3(b.term.hashCode.toLong,
+            b.salt.toLong * 31 + b.blockIdx,
+            java.util.Arrays.hashCode(b.docDeltas).toLong)))
+        .write.mode("overwrite").parquet(s"$newRoot/postings")
+      IndexBuilder.writeLineageRows(spark, newRoot, "postings", poAcc.value)
+
+      // ---- termstats (pruned read-back of the fresh postings) ------------
+      val tsAcc = IndexBuilder.newLineageAcc(spark, "termstats")
+      spark.read.parquet(s"$newRoot/postings")
+        .groupBy($"term")
+        .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+        .as[TermStat]
+        .mapPartitions(IndexBuilder.tally(tsAcc, "termstats")(
+          _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
+          t => IndexBuilder.mix3(t.term.hashCode.toLong, t.df, 0L)))
+        .write.mode("overwrite").parquet(s"$newRoot/termstats")
+      IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
+
+      // ---- positions (only if the batch stage was explicitly built) ------
+      // Segments always carry positions; the fold preserves the positional
+      // tier iff the batch index has it (positionsAll requires the batch
+      // stage anyway, so phrase-search capability is unchanged either way).
+      if (Fs.exists(s"$oldRoot/positions")) {
+        spark.read
+          .parquet((s"$oldRoot/positions" +: segs.map(_ + "/positions")): _*)
+          .withColumnRenamed("docId", "oldDocId")
+          .join(remap, "oldDocId")
+          .select($"term", $"docId", $"n", $"posDeltas")
+          .repartition(parts, $"term", pmod($"docId", lit(64)))
+          .sortWithinPartitions($"term", $"docId")
+          .write.mode("overwrite").parquet(s"$newRoot/positions")
+        Fs.touch(s"$newRoot/_STAGE_positions")
+      }
+
+      // ---- commit: folded list + ONE atomic pointer flip ------------------
+      val priorFolded = Fs.readString(s"$oldRoot/folded_segments")
+        .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val folded = (priorFolded ++ segs.map(Fs.name)).toSeq.sorted
+      Fs.writeString(s"$newRoot/folded_segments", folded.mkString("\n"))
+      Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
+      Catalog.invalidate(dir)
+
+      // ---- lazy cleanup (best-effort; readers already ignore these) ------
+      segs.foreach(Fs.delete)
+      if (oldRoot != dir) Fs.delete(oldRoot)
+    } finally assigned.release()
+    IndexBuilder.openHandle(dir)
+  }
+}

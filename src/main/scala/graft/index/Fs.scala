@@ -91,4 +91,13 @@ object Fs {
 
   /** Last path component (works for both `file:/x/y` and `/x/y`). */
   def name(path: String): String = new Path(path).getName
+
+  /** Modification time (ms) of a file, 0 if absent — a cheap build
+    * fingerprint for marker files (`_DONE`): a rebuild rewrites the marker,
+    * so caches keyed on the mtime can never serve a deleted build's files.
+    */
+  def mtime(path: String): Long = {
+    val (fs, p) = fsOf(path)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
 }

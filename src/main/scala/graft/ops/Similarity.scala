@@ -142,12 +142,10 @@ object Similarity {
                       tables: Int = 24, planes: Int = 10): String = {
     import spark.implicits._
     val dir = lshBucketsDir(sfDir, tables, planes)
-    if (!new java.io.File(s"$dir/_DONE").exists()) {
+    if (!graft.index.Fs.exists(s"$dir/_DONE")) {
       val e = emb(spark, sfDir)
       val dim = e.select(col("embedding")).as[Array[Float]].head().length
-      val allPlanes: Array[Array[Array[Double]]] =
-        Array.tabulate(tables)(t => Array.tabulate(planes)(p => hyperplane(t * 1000 + p, dim)))
-      val bPlanes = spark.sparkContext.broadcast(allPlanes)
+      val bPlanes = spark.sparkContext.broadcast(planesFor(tables, planes, dim))
       e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
           val ps = bPlanes.value
@@ -159,12 +157,20 @@ object Similarity {
         .repartitionByRange(col("bucket"))
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(s"$dir/buckets")
-      val f = new java.io.File(s"$dir/_DONE")
-      f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+      graft.index.Fs.touch(s"$dir/_DONE")
     }
     dir
   }
+
+  // query-side LSH geometry, memoized per (tables, planes, dim) — pure
+  // arrays (no session pinning), deterministic by seed, so a plain global
+  // map is safe; saves regenerating tables·planes Gaussians per query
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Array[Array[Array[Double]]]]
+
+  private[graft] def planesFor(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
+    planeCache.getOrElseUpdate((tables, planes, dim),
+      Array.tabulate(tables)(t => Array.tabulate(planes)(p => hyperplane(t * 1000 + p, dim))))
 
   /** LSH-bucketed ANN, multi-probe: probe the prebuilt bucket table with
     * the query's key per table PLUS every Hamming-distance-1 neighbor key
@@ -191,9 +197,9 @@ object Similarity {
     val q: Array[Float] = e.filter(col("vec_id") === qId)
       .select(col("embedding")).as[Array[Float]].head()
     val dim = q.length
+    val allPlanes = planesFor(tables, planes, dim)
     val qBuckets: Seq[Long] = (0 until tables).flatMap { t =>
-      val tPlanes = Array.tabulate(planes)(p => hyperplane(t * 1000 + p, dim))
-      val base = lshKey(q, tPlanes)
+      val base = lshKey(q, allPlanes(t))
       (base +: Array.tabulate(planes)(p => base ^ (1 << p)).toSeq).map { key =>
         (t.toLong << 32) | (key.toLong & 0xffffffffL)
       }
@@ -287,7 +293,7 @@ object Similarity {
                iters: Int = 2): String = {
     import spark.implicits._
     val dir = ivfDir(sfDir, lists)
-    if (!new java.io.File(s"$dir/_DONE").exists()) {
+    if (!graft.index.Fs.exists(s"$dir/_DONE")) {
       val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"), col("label"))
       // deterministic pseudo-random init: `lists` vectors minimizing a hash
       // of vec_id (TakeOrdered — one narrow pass)
@@ -330,12 +336,28 @@ object Similarity {
       spark.createDataset(centroids.zipWithIndex.map { case (c, l) => (l, c) }.toSeq)
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      val f = new java.io.File(s"$dir/_DONE")
-      f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+      graft.index.Fs.touch(s"$dir/_DONE")
+      // a REBUILD under the same dir (delete + buildIvf, the bench pattern)
+      // must not serve the deleted build's FileIndex: evict any cached
+      // entries for this dir across live sessions (keys are mtime-stamped
+      // too — see ivfKey — this is belt-and-braces for the same session)
+      SparkSession.getActiveSession.foreach { s =>
+        ivfCentroidCache(s).keys.filter(_.startsWith(s"$dir|"))
+          .foreach(ivfCentroidCache(s).remove)
+        ivfEmbCache(s).keys.filter(_.startsWith(s"$dir|"))
+          .foreach(ivfEmbCache(s).remove)
+      }
     }
     dir
   }
+
+  /** Cache key carrying the build fingerprint: the _DONE marker's mtime
+    * changes on every rebuild, so a cached DataFrame can never outlive the
+    * files it indexes (ADVICE r2: the dir-only key served deleted files
+    * after a delete+rebuild in one session).
+    */
+  private def ivfKey(dir: String): String =
+    s"$dir|${graft.index.Fs.mtime(s"$dir/_DONE")}"
 
   private[graft] def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0
@@ -374,7 +396,8 @@ object Similarity {
               lists: Int = 64, nprobe: Int = 8): DataFrame = {
     import spark.implicits._
     val dir = buildIvf(spark, sfDir, lists)
-    val centroids = ivfCentroidCache(spark).getOrElseUpdate(dir,
+    val key = ivfKey(dir)
+    val centroids = ivfCentroidCache(spark).getOrElseUpdate(key,
       spark.read.parquet(s"$dir/centroids")
         .as[(Int, Array[Double])].collect().sortBy(_._1))
     val q: Array[Float] = emb(spark, sfDir).filter(col("vec_id") === qId)
@@ -388,7 +411,7 @@ object Similarity {
       (l, dot / (math.sqrt(nv) * math.sqrt(nc)))
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     val bq = spark.sparkContext.broadcast(q)
-    ivfEmbCache(spark).getOrElseUpdate(dir, spark.read.parquet(s"$dir/emb"))
+    ivfEmbCache(spark).getOrElseUpdate(key, spark.read.parquet(s"$dir/emb"))
       .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= qId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, cosine(bq.value, v)) }

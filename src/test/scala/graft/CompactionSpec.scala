@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.{Compactor, IndexBuilder}
+import graft.query.Searcher
+import graft.streaming.StreamingIngest
+
+/** Segment compaction (Compactor.scala): folding streamed segments into a
+  * new epoch must be invisible to queries (bit-identical results), restore
+  * the WAND bound factor to exactly 1.0, shrink the live segment set to
+  * zero, and produce tables equal to a fresh build over the union corpus —
+  * the strongest possible "merge happened correctly" check.
+  */
+class CompactionSpec extends AnyFunSuite with SparkSuite {
+
+  private val queries = Seq("the", "import def", "postinglist docfreq", "zzz_rare_token")
+
+  private def byCommit(h: IndexBuilder.Handle, q: String): Set[(String, Double)] =
+    Searcher.topK(spark, h, q, Int.MaxValue).toDF()
+      .join(h.docmetaAll(spark).toDF(), "docId")
+      .select(col("commit"), col("score"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+  test("compact folds all segments: results bit-identical, boundFactor 1.0, epoch == fresh build") {
+    import spark.implicits._
+    val all = (0 until 90).map(i => Corpus.synthDoc(i, 17L))
+    val idx = tmpDir("graft-compact-idx")
+    val idxAll = tmpDir("graft-compact-all")
+    val cfg = IndexBuilder.Config(salts = 4)
+    val h = IndexBuilder.build(spark, all.take(50).toDS(), idx, cfg)
+    val avgdl = h.stats(spark).avgdl
+    StreamingIngest.appendSegment(spark, all.slice(50, 65).toDS(), 0L, idx, avgdl, 4, 1L << 40)
+    StreamingIngest.appendSegment(spark, all.slice(65, 80).toDS(), 1L, idx, avgdl, 4, 1L << 40)
+    StreamingIngest.appendSegment(spark, all.slice(80, 90).toDS(), 2L, idx, avgdl, 4, 1L << 40)
+    assert(h.segmentDirs.size == 3)
+    val before = queries.map(q => q -> byCommit(h, q)).toMap // collected PRE-fold
+
+    val hc = Compactor.compact(spark, idx, cfg)
+    assert(hc.segmentDirs.isEmpty, "all segments must be folded")
+    assert(hc.root != idx, "compaction must flip to an epoch root")
+    val (stAfter, factorAfter) = hc.liveStats(spark)
+    assert(factorAfter == 1.0, "WAND bound factor must return to exactly 1.0")
+    for (q <- queries)
+      assert(byCommit(hc, q) == before(q), s"results changed across compaction for '$q'")
+
+    // the folded epoch equals a FRESH build over the union corpus —
+    // bit-identical docmeta (incl. re-ranked dense docIds), stats, postings
+    val hAll = IndexBuilder.build(spark, all.toDS(), idxAll, cfg)
+    assert(stAfter == hAll.stats(spark))
+    assert(hc.docmeta(spark).collect().sortBy(_.docId).toSeq ==
+      hAll.docmeta(spark).collect().sortBy(_.docId).toSeq)
+    def blockKey(b: graft.index.PostingBlock) =
+      (b.term, b.salt, b.blockIdx, b.firstDocId, b.lastDocId, b.n, b.maxImpact,
+        b.docDeltas.toSeq, b.tfs.toSeq, b.dls.toSeq)
+    assert(hc.postings(spark).collect().map(blockKey).sortBy(_.toString).toSeq ==
+      hAll.postings(spark).collect().map(blockKey).sortBy(_.toString).toSeq)
+    // ...and searches over the two are bit-identical including docIds
+    for (q <- queries)
+      assert(Searcher.topK(spark, hc, q, Int.MaxValue).collect().toSeq ==
+        Searcher.topK(spark, hAll, q, Int.MaxValue).collect().toSeq)
+
+    // two-sided reconciliation over the epoch lineage passes
+    Cli.run(spark, Seq("reconcile", idx))
+
+    // idempotent: nothing left to fold
+    assert(Compactor.compact(spark, idx, cfg).root == hc.root)
+  }
+
+  test("segments arriving AFTER a compaction fold into the next epoch") {
+    import spark.implicits._
+    val all = (0 until 60).map(i => Corpus.synthDoc(i, 23L))
+    val idx = tmpDir("graft-compact2-idx")
+    val idxAll = tmpDir("graft-compact2-all")
+    val cfg = IndexBuilder.Config(salts = 4)
+    val h = IndexBuilder.build(spark, all.take(40).toDS(), idx, cfg)
+    val avgdl = h.stats(spark).avgdl
+    StreamingIngest.appendSegment(spark, all.slice(40, 50).toDS(), 0L, idx, avgdl, 4, 1L << 40)
+    val h1 = Compactor.compact(spark, idx, cfg)
+    assert(h1.root.endsWith("epoch-000001"))
+    // new micro-batch lands after the fold (checkpointed batchIds are
+    // monotone, so the new batch id is fresh)
+    StreamingIngest.appendSegment(spark, all.slice(50, 60).toDS(), 7L, idx,
+      h1.stats(spark).avgdl, 4, 1L << 40)
+    assert(h1.segmentDirs.size == 1)
+    val h2 = Compactor.compact(spark, idx, cfg)
+    assert(h2.root.endsWith("epoch-000002") && h2.segmentDirs.isEmpty)
+    assert(h2.liveStats(spark)._2 == 1.0)
+    val hAll = IndexBuilder.build(spark, all.toDS(), idxAll, cfg)
+    for (q <- queries)
+      assert(Searcher.topK(spark, h2, q, Int.MaxValue).collect().toSeq ==
+        Searcher.topK(spark, hAll, q, Int.MaxValue).collect().toSeq)
+  }
+
+  test("positional tier survives compaction (phrase results == fresh build with positions)") {
+    import spark.implicits._
+    val all = (0 until 50).map(i => Corpus.synthDoc(i, 29L))
+    val idx = tmpDir("graft-compact3-idx")
+    val idxAll = tmpDir("graft-compact3-all")
+    val cfg = IndexBuilder.Config(salts = 4)
+    val h = IndexBuilder.build(spark, all.take(35).toDS(), idx, cfg)
+    IndexBuilder.buildPositions(spark, all.take(35).toDS(), idx, h.mode)
+    StreamingIngest.appendSegment(spark, all.drop(35).toDS(), 0L, idx,
+      h.stats(spark).avgdl, 4, 1L << 40)
+    val hc = Compactor.compact(spark, idx, cfg)
+    val hAll = IndexBuilder.build(spark, all.toDS(), idxAll, cfg)
+    IndexBuilder.buildPositions(spark, all.toDS(), idxAll, hAll.mode)
+    assert(graft.query.Phrase.search(spark, hc, "the import").collect().toSeq ==
+      graft.query.Phrase.search(spark, hAll, "the import").collect().toSeq)
+  }
+
+  test("phrase query on an index without the positional tier fails loudly") {
+    import spark.implicits._
+    val idx = tmpDir("graft-nopos-idx")
+    val h = IndexBuilder.build(spark, (0 until 20).map(i => Corpus.synthDoc(i, 31L)).toDS(),
+      idx, IndexBuilder.Config(salts = 2))
+    val ex = intercept[IllegalArgumentException] {
+      graft.query.Phrase.search(spark, h, "the import").collect()
+    }
+    assert(ex.getMessage.contains("positional"))
+  }
+}
