@@ -522,9 +522,14 @@ object SparkEntry {
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
-    // dedup_minhash_lsh: LSH candidates exactly verified → equals the exact
-    // pair set when recall = 1 on this (deterministic) data; asserted in
-    // OpsSpec locally, then safe to oracle-check with the exact SQL.
+    // dedup_minhash_lsh ORACLE CONTRACT: the engine output is exact-verified
+    // LSH candidates — a SUBSET of the exact pair set by construction, equal
+    // to it only while LSH recall = 1, which OpsSpec asserts on exactly this
+    // deterministic corpus (planted near-dups at j≥0.6 with b=24/r=3 ⇒
+    // P(miss) < 1e-2 per pair, and the assertion pins it). If the driver
+    // corpus ever changes and this row goes red with a few MISSING pairs
+    // (never extra ones), suspect the approximation contract before the
+    // engine: re-run OpsSpec's recall check first.
     "dedup_minhash_lsh" -> jaccardSql,
     // exhaustive-probe IVF ≡ brute-force cosine top-k (same arithmetic,
     // same quantization/ordering) — the oracle checks the full IVF pipeline

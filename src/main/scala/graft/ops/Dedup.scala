@@ -18,6 +18,10 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // session-swept registry for intermediates that must stay cached inside a
+  // returned lazy plan — one entry per (op, sfDir), not one leak per call
+  private val planCache = new graft.SessionCache[DataFrame]
+
   /** Exact dedup: group by content digest; keeper = min doc_id.
     * (Reference analog: deterministic DocID identity, es/paging_token.go —
     * the anti-model being its `_id`-less bulk duplicates, SURVEY.md §1.2.)
@@ -150,15 +154,19 @@ object Dedup {
     // Adaptive coordinator step (same pattern as Searcher's driver path):
     // the candidate DOC set is LSH's output. If it is driver-small, collect
     // it (one job over the sigs→buckets→bucket-join pipeline) and inline it
-    // as a pushdown-able IN filter for the verify job; on a dup-heavy
-    // corpus where candidates exceed the bound, fall back to a distributed
-    // semi-join on the same candidate-doc plan. The verify then exactly
-    // scores every pair of candidate docs sharing a shingle — a superset of
-    // the LSH pair set restricted to candidate docs (extra true pairs only
-    // help recall), and a subset of the true pair set (the scoring is
-    // exact). Only candidate docs' shingles ever shuffle — the full corpus
-    // shingle table is never materialized, and the n² pair matrix never
-    // exists: cost is O(|candidate docs| · shingles/doc).
+    // as an IN filter for the verify job. Honest pushdown note: beyond
+    // spark.sql.parquet.pushdown.inFilterThreshold (~10) Catalyst compiles
+    // the IN to an InSet evaluated post-scan, with only a [min,max] range
+    // reaching the row-group pruner — the actual win over the semi-join
+    // alternative is skipping a shuffle plus a second job, not scan IO. On
+    // a dup-heavy corpus where candidates exceed the bound, fall back to a
+    // distributed semi-join on the same candidate-doc plan. The verify then
+    // exactly scores every pair of candidate docs sharing a shingle — a
+    // superset of the LSH pair set restricted to candidate docs (extra true
+    // pairs only help recall), and a subset of the true pair set (the
+    // scoring is exact). Only candidate docs' shingles ever shuffle — the
+    // full corpus shingle table is never materialized, and the n² pair
+    // matrix never exists: cost is O(|candidate docs| · shingles/doc).
     val candDocsDf = cands
       .select(col("a").as("doc_id")).union(cands.select(col("b").as("doc_id")))
       .distinct()
@@ -173,18 +181,22 @@ object Dedup {
         _.filter(col("doc_id").isin(probed: _*))
       else
         _.join(candDocsDf, Seq("doc_id"), "left_semi")
-    val shCand = candDocs(docs(spark, sfDir).select(col("doc_id"), col("text")))
-      .as[(Long, String)]
-      .flatMap { case (docId, text) =>
-        val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        val set = scala.collection.mutable.LinkedHashSet.empty[String]
-        var i = 0
-        while (i + 2 < ws.length) {
-          set += ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
-          i += 1
-        }
-        set.iterator.map((docId, _))
-      }.toDF("doc_id", "sh").cache()
+    // candidate shingles are consumed twice below (sizes + self-join) —
+    // registered in the session cache rather than bare-.cache()d, so
+    // repeated invocations reuse one entry instead of leaking one per call
+    val shCand = planCache(spark).getOrElseUpdate(s"mhshingles|$sfDir|$threshold",
+      candDocs(docs(spark, sfDir).select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .flatMap { case (docId, text) =>
+          val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + 2 < ws.length) {
+            set += ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+            i += 1
+          }
+          set.iterator.map((docId, _))
+        }.toDF("doc_id", "sh").cache())
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("n"))
     val inter = shCand.as("x").join(shCand.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))

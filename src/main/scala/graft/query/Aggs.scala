@@ -16,6 +16,13 @@ object Aggs {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // Small intermediates that MUST be cached inside a returned lazy plan
+  // (two consumers over one exchange) are registered here instead of bare
+  // .cache(): one entry per (op, sfDir), reused across invocations and
+  // swept with the session — bare .cache() leaked one cache-manager entry
+  // per CALL (ADVICE r2).
+  private val planCache = new graft.SessionCache[DataFrame]
+
   /** F2: date_histogram(day) + min/max sub-aggs over lineitem. */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -144,6 +151,23 @@ object Aggs {
     */
   def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val scanned = planCache(spark).getOrElseUpdate(s"gapscan|$sfDir",
+      gapScan(spark, sfDir).cache())
+    val interior = scanned.filter(!col("sentinel"))
+      .select(col("a").as("gap_start"), col("b").as("gap_end"))
+    // Cross-partition gaps from the sentinels: ≤ one row per partition —
+    // metadata-sized, so the global window over them is a few-hundred-row
+    // sort, not a data-sized single-partition exchange.
+    val w = Window.orderBy(col("a"))
+    val boundary = scanned.filter(col("sentinel"))
+      .withColumn("nxt", lead(col("a"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") > col("b") + 1)
+      .select((col("b") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    interior.union(boundary).orderBy(col("gap_start"))
+  }
+
+  private def gapScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = t(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("seq"))
@@ -154,7 +178,7 @@ object Aggs {
     // one SENTINEL row carrying the partition's (min, max). Both consumers
     // below read this same subplan; Catalyst's ReuseExchange dedupes the
     // range shuffle, so the data is shuffled once.
-    val scanned = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else new Iterator[(Long, Long, Boolean)] {
         private val firstKey = it.next()
@@ -175,22 +199,11 @@ object Aggs {
         def hasNext: Boolean = { seek(); pending != null }
         def next(): (Long, Long, Boolean) = { seek(); val g = pending; pending = null; g }
       }
-      // cached: interior and boundary both consume this; without it the
-      // sort+scan over the full input would execute twice (only the
-      // exchange is deduped by AQE reuse). The cached rows are tiny —
-      // gaps + one sentinel per partition.
-    }.toDF("a", "b", "sentinel").cache()
-    val interior = scanned.filter(!col("sentinel"))
-      .select(col("a").as("gap_start"), col("b").as("gap_end"))
-    // Cross-partition gaps from the sentinels: ≤ one row per partition —
-    // metadata-sized, so the global window over them is a few-hundred-row
-    // sort, not a data-sized single-partition exchange.
-    val w = Window.orderBy(col("a"))
-    val boundary = scanned.filter(col("sentinel"))
-      .withColumn("nxt", lead(col("a"), 1).over(w))
-      .filter(col("nxt").isNotNull && col("nxt") > col("b") + 1)
-      .select((col("b") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
-    interior.union(boundary).orderBy(col("gap_start"))
+      // cached (at the planCache call site): interior and boundary both
+      // consume this; without it the sort+scan over the full input would
+      // execute twice (only the exchange is deduped by AQE reuse). The
+      // cached rows are tiny — gaps + one sentinel per partition.
+    }.toDF("a", "b", "sentinel")
   }
 
   /** D7: range reconciliation — counts per fixed-step key bucket

@@ -100,7 +100,13 @@ object StreamingIngest {
     val segDir = s"$indexDir/ingest_segments/batch=$batchId"
     // replayed batch (foreachBatch is at-least-once): already committed → skip
     if (Fs.exists(s"$segDir/_DONE")) return
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // Micro-batch parallelism is sized to the BATCH, not the session: a
+    // 1-second trigger sees at most ~(1<<20) docs and usually a few hundred
+    // — 32-way shuffles there are pure fixed overhead (32 tasks + up to 32
+    // parquet files per table per segment, which also bloats later listing
+    // and compaction). Wide parallelism belongs to the batch build.
+    val parts = math.min(spark.sessionState.conf.numShufflePartitions,
+      sys.props.getOrElse("graft.ingest.partitions", "4").toInt)
     val assigned = IndexBuilder.assignDocIds(spark, batch, parts)
     try {
       val cnt = assigned.n
@@ -121,48 +127,51 @@ object StreamingIngest {
         (lit(saltBase) + least(floor($"docId" * salts / cnt), lit(salts - 1)))
           .cast("int").as("salt"))
 
-      // job 1: docmeta write, Σdl tallied in-flight (no re-read job)
+      // The three table writes are independent once the id-assigned sort is
+      // materialized (the count pass inside assignDocIds did that), so they
+      // run CONCURRENTLY — wall time per batch ≈ count job + the slowest
+      // write + the tiny driver-local stats writes, instead of the sum.
       val dlAcc = spark.sparkContext
         .collectionAccumulator[(Int, Long)](s"segment-dl-$batchId")
-      withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
-          tokenStats.getField("dl").as("dl"), sha2($"content", 256).as("sha256"))
-        .as[DocMeta]
-        .mapPartitions(perPartitionTally[DocMeta, Long](dlAcc, 0L)((s, m) => s + m.dl))
-        .write.mode("overwrite").parquet(s"$segDir/docmeta")
-
-      // job 2: blocks write, per-term (df, maxImpact) tallied in-flight
       val tsAcc = spark.sparkContext
         .collectionAccumulator[(Int, Map[String, (Long, Double)])](s"segment-ts-$batchId")
-      val tokens = withIds
-        .select($"docId", $"salt", tokenStats.as("ts"))
-        .select($"docId", $"salt", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
-        .select($"tt.term".as("term"), $"salt", $"docId", $"tt.tf".as("tf"), $"dl")
-      tokens
-        .repartition(parts, $"term", $"salt")
-        .sortWithinPartitions($"term", $"salt", $"docId")
-        .as[graft.index.TermDoc]
-        .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
-        .mapPartitions(perPartitionTally[graft.index.PostingBlock,
-            Map[String, (Long, Double)]](tsAcc, Map.empty) { (m, b) =>
-          val (df0, mi0) = m.getOrElse(b.term, (0L, 0.0))
-          m.updated(b.term, (df0 + b.n, math.max(mi0, b.maxImpact)))
-        })
-        .write.mode("overwrite").parquet(s"$segDir/blocks")
-
-      // job 3: positional postings for the segment — phrase search over the
-      // live union must see streamed docs too (the batch positions stage is
-      // an explicit build; per-batch occurrence volume is small, so segments
-      // carry positions unconditionally)
-      withIds.select($"docId", $"content").as[(Long, String)]
-        .flatMap { case (docId, content) =>
-          val ts = Analyzer.tokens(content, mode)
-          Iterator.tabulate(ts.length)(i => (ts(i), docId, i))
-        }.toDF("term", "docId", "pos")
-        .repartition(parts, $"term", pmod($"docId", lit(64)))
-        .sortWithinPartitions($"term", $"docId", $"pos")
-        .as[(String, Long, Int)]
-        .mapPartitions(IndexBuilder.buildPositionRows)
-        .write.mode("overwrite").parquet(s"$segDir/positions")
+      val writers = Seq(
+        // docmeta, Σdl tallied in-flight (no re-read job)
+        () => withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
+            tokenStats.getField("dl").as("dl"), sha2($"content", 256).as("sha256"))
+          .as[DocMeta]
+          .mapPartitions(perPartitionTally[DocMeta, Long](dlAcc, 0L)((s, m) => s + m.dl))
+          .write.mode("overwrite").parquet(s"$segDir/docmeta"),
+        // posting blocks, per-term (df, maxImpact) tallied in-flight
+        () => withIds
+          .select($"docId", $"salt", tokenStats.as("ts"))
+          .select($"docId", $"salt", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
+          .select($"tt.term".as("term"), $"salt", $"docId", $"tt.tf".as("tf"), $"dl")
+          .repartition(parts, $"term", $"salt")
+          .sortWithinPartitions($"term", $"salt", $"docId")
+          .as[graft.index.TermDoc]
+          .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
+          .mapPartitions(perPartitionTally[graft.index.PostingBlock,
+              Map[String, (Long, Double)]](tsAcc, Map.empty) { (m, b) =>
+            val (df0, mi0) = m.getOrElse(b.term, (0L, 0.0))
+            m.updated(b.term, (df0 + b.n, math.max(mi0, b.maxImpact)))
+          })
+          .write.mode("overwrite").parquet(s"$segDir/blocks"),
+        // positional postings — phrase search over the live union must see
+        // streamed docs too (the batch positions stage is an explicit build;
+        // per-batch occurrence volume is small, so segments carry positions
+        // unconditionally)
+        () => withIds.select($"docId", $"content").as[(Long, String)]
+          .flatMap { case (docId, content) =>
+            val ts = Analyzer.tokens(content, mode)
+            Iterator.tabulate(ts.length)(i => (ts(i), docId, i))
+          }.toDF("term", "docId", "pos")
+          .repartition(parts, $"term", pmod($"docId", lit(64)))
+          .sortWithinPartitions($"term", $"docId", $"pos")
+          .as[(String, Long, Int)]
+          .mapPartitions(IndexBuilder.buildPositionRows)
+          .write.mode("overwrite").parquet(s"$segDir/positions"))
+      runConcurrently(writers)
 
       // driver-local writes (tiny): per-segment corpus stats — n + Σdl, with
       // the avgdl the blocks' maxImpact was computed against (liveStats uses
@@ -170,9 +179,6 @@ object StreamingIngest {
       // accumulators deduped by partitionId
       import scala.jdk.CollectionConverters._
       val tok = dlAcc.value.asScala.groupBy(_._1).map(_._2.head._2).sum
-      Seq(IndexStats(cnt, avgdl, tok)).toDS()
-        .write.mode("overwrite").parquet(s"$segDir/stats")
-
       val termstats = tsAcc.value.asScala.groupBy(_._1).map(_._2.head._2)
         .foldLeft(Map.empty[String, (Long, Double)]) { (acc, m) =>
           m.foldLeft(acc) { case (a, (t, (df, mi))) =>
@@ -180,14 +186,32 @@ object StreamingIngest {
             a.updated(t, (df0 + df, math.max(mi0, mi)))
           }
         }
-      termstats.toSeq.map { case (t, (df, mi)) => (t, df, mi) }
-        .toDF("term", "df", "maxImpact")
-        .coalesce(1).write.mode("overwrite").parquet(s"$segDir/termstats")
+      runConcurrently(Seq(
+        () => Seq(IndexStats(cnt, avgdl, tok)).toDS()
+          .write.mode("overwrite").parquet(s"$segDir/stats"),
+        () => termstats.toSeq.map { case (t, (df, mi)) => (t, df, mi) }
+          .toDF("term", "df", "maxImpact")
+          .coalesce(1).write.mode("overwrite").parquet(s"$segDir/termstats")))
 
       // marker LAST: readers treat marker-less segments as not-yet-ingested
       Fs.touch(s"$segDir/_DONE")
       Catalog.invalidate(indexDir)
     } finally assigned.release()
+  }
+
+  /** Run independent Spark write jobs from parallel driver threads (plain
+    * Threads — per-batch, so no shared pool lifecycle); rethrows the first
+    * failure so the segment marker is never written on a partial segment.
+    */
+  private def runConcurrently(thunks: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = thunks.map { f =>
+      new Thread(() =>
+        try f() catch { case t: Throwable => errs.compareAndSet(null, t); () })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (errs.get() != null) throw errs.get()
   }
 
   /** Wraps a partition iterator to fold rows into a per-partition tally and

@@ -94,6 +94,38 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(idx).listFiles().isEmpty)
   }
 
+  test("cli: export --positions builds the positional tier; compact folds segments") {
+    val idx = tmpDir("graft-cli-pos-idx")
+    new java.io.File(idx).delete()
+    Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--salts", "2", "--positions"))
+    val h = graft.index.IndexBuilder.openHandle(idx)
+    assert(graft.index.Fs.exists(s"${h.root}/positions"))
+    // phrase search works over the explicitly built tier
+    assert(graft.query.Phrase.search(spark, h, "the").collect().nonEmpty)
+    // compact over one streamed segment via the CLI
+    import spark.implicits._
+    val streamed = (0 until 10).map(i => graft.corpus.Corpus.synthDoc(i, 33L)).toDS()
+    graft.streaming.StreamingIngest.appendSegment(spark, streamed, batchId = 0L,
+      indexDir = idx, avgdl = h.stats(spark).avgdl, salts = 2, baseDocId = 1L << 40)
+    Cli.run(spark, Seq("compact", idx))
+    val hc = graft.index.IndexBuilder.openHandle(idx)
+    assert(hc.segmentDirs.isEmpty && hc.root.contains("epoch-"))
+    Cli.run(spark, Seq("reconcile", idx))
+    Cli.run(spark, Seq("compact", idx)) // idempotent no-op path prints, no throw
+  }
+
+  test("persisted analyzer_mode with an unknown name fails loudly on open") {
+    val idx = tmpDir("graft-cli-badmode-idx")
+    graft.index.Fs.writeString(s"$idx/analyzer_mode", "quantum-tokenizer")
+    val ex = intercept[IllegalArgumentException] {
+      graft.index.IndexBuilder.openHandle(idx)
+    }
+    assert(ex.getMessage.contains("quantum-tokenizer"))
+    // missing file still defaults to Simple (legacy layout)
+    val idx2 = tmpDir("graft-cli-nomode-idx")
+    assert(graft.index.IndexBuilder.openHandle(idx2).mode == graft.analyze.Analyzer.Simple)
+  }
+
   test("cli search infers the persisted analyzer mode (code-mode index)") {
     val idx = tmpDir("graft-cli-code-idx")
     new java.io.File(idx).delete()

@@ -220,6 +220,27 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     assert(bad == 0)
   }
 
+  test("query path holds no full-index residency; warm repeated query runs ~zero jobs") {
+    // cold query on a FRESH index: must not materialize any InMemoryRelation
+    // (the round-2 hotPostings cached postingsAll() — the whole index — on
+    // first query; the bounded per-term cache must not)
+    val h2 = IndexBuilder.build(spark, corpus, tmpDir("graft-res-idx"),
+      IndexBuilder.Config(salts = 4, mode = Analyzer.Code))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Searcher.topK(spark, h2, "sparkSession read", 10).collect()
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((persistedAfter -- persistedBefore).isEmpty,
+      "a query materialized a persistent RDD — full-index residency is conf-gated opt-in only")
+    // warm identical query: blocks + df are memoized driver-side, so no scan
+    // jobs run (the only possible job is the LocalRelation materialization)
+    spark.sparkContext.setJobGroup("graft-warm-q", "warm query", interruptOnCancel = false)
+    Searcher.topK(spark, h2, "sparkSession read", 10).collect()
+    spark.sparkContext.clearJobGroup()
+    Thread.sleep(300) // status tracker is fed asynchronously
+    val warmJobs = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-warm-q").length
+    assert(warmJobs <= 1, s"warm query ran $warmJobs jobs — term cache not effective")
+  }
+
   test("docIds dense, unique, zero-based") {
     import spark.implicits._
     val ids = handle.docmeta(spark).map(_.docId).collect().sorted

@@ -28,6 +28,31 @@ object Probe {
       println(f"[probe] r$r $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     for (r <- 1 to rounds; q <- qs) q match {
+      case "bandwidth" =>
+        if (r == 1) bandwidthProbe(spark)
+      case "ingest" =>
+        // steady-state micro-batch latency (the 1 s trigger budget): one
+        // warm-up batch, then per-append wall time for 12 batches of 100
+        if (r == 1) {
+          import spark.implicits._
+          val idx = s"${sys.props("java.io.tmpdir")}/graft-probe-ingest-${System.nanoTime()}"
+          val base = (0 until 500).map(i => graft.corpus.Corpus.synthDoc(i, 3L)).toDS()
+          val h = graft.index.IndexBuilder.build(spark, base, idx,
+            graft.index.IndexBuilder.Config(salts = 4))
+          val avgdl = h.stats(spark).avgdl
+          for (b <- 0 until 12) {
+            val docs = (0 until 100).map(i => graft.corpus.Corpus.synthDoc(1000 + b * 100 + i, 3L)).toDS()
+            timed(r, s"append-b$b")(graft.streaming.StreamingIngest.appendSegment(
+              spark, docs, b.toLong, idx, avgdl, 4, 1L << 40))
+          }
+          // query latency vs segment count, then flat after compaction
+          timed(r, "query-12segs")(graft.query.Searcher.topK(spark,
+            graft.index.IndexBuilder.openHandle(idx), "the import", 10).collect())
+          timed(r, "compact")(graft.index.Compactor.compact(spark, idx,
+            graft.index.IndexBuilder.Config(salts = 4)))
+          timed(r, "query-0segs")(graft.query.Searcher.topK(spark,
+            graft.index.IndexBuilder.openHandle(idx), "the import", 10).collect())
+        }
       case "minhash_phases" =>
         import spark.implicits._
         import org.apache.spark.sql.functions._
@@ -72,5 +97,88 @@ object Probe {
         timed(r, q)(SparkEntry.queries(q)(spark, sf).collect())
     }
     spark.stop()
+  }
+
+  /** The committed memory-bandwidth evidence behind BENCH/BASELINE.md's
+    * secondary scaling pair (local[8]→local[32]): a zero-Spark thread probe
+    * runs the SAME tokenizer hot path at 1/2/8/32 threads in two flavors —
+    * pure-CPU (read-only char scan, no allocation) and alloc-heavy (the
+    * build's real `Analyzer.termFreqs` path: token Strings, sort, tuples).
+    * Pure-CPU scales near-linearly to 32 threads while alloc-heavy hits the
+    * single-socket memory/GC wall between 8 and 32 — demonstrating the
+    * <0.8 secondary-pair efficiency is a one-JVM bandwidth artifact, not a
+    * Spark-plan defect (4N cluster EXECUTORS bring 4N memory controllers;
+    * 4N threads in one JVM don't). A Spark-build occupancy line (Σ task
+    * runtime / wall / cores) shows the cores are busy, not starved.
+    * Re-run: sbt "Test/runMain graft.Probe - 1 bandwidth"
+    */
+  private def bandwidthProbe(spark: SparkSession): Unit = {
+    import graft.analyze.Analyzer
+    val docs = Array.tabulate(8000)(i => graft.corpus.Corpus.synthDoc(i, 5L).content)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    def pureCpu(s: String): Long = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      h
+    }
+    def allocHeavy(s: String): Long = {
+      val (tfs, dl) = Analyzer.termFreqs(s, Analyzer.Code)
+      tfs.length.toLong + dl
+    }
+    def pass(threads: Int, repeats: Int, fn: String => Long): Double = {
+      val ts = (0 until threads).map { _ =>
+        new Thread(() => {
+          var acc = 0L
+          var r = 0
+          while (r < repeats) {
+            var i = 0
+            while (i < docs.length) { acc += fn(docs(i)); i += 1 }
+            r += 1
+          }
+          sink.addAndGet(acc)
+          ()
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      threads.toLong * repeats * docs.length / wall // docs/sec (weak scaling)
+    }
+    for ((name, fn, reps) <- Seq(("pure-cpu", pureCpu _, 40), ("alloc-heavy", allocHeavy _, 8))) {
+      pass(4, reps, fn) // JIT warm-up
+      val thr = Seq(1, 2, 8, 32).map(t => t -> pass(t, reps, fn)).toMap
+      println(f"[bandwidth] $name%-12s 1t=${thr(1)}%.0f 2t=${thr(2)}%.0f 8t=${thr(8)}%.0f 32t=${thr(32)}%.0f docs/s" +
+        f"  speedup32=${thr(32) / thr(1)}%.1fx  eff_8_32=${thr(32) / thr(8) / 4.0}%.2f")
+    }
+    // Spark build occupancy at local[32]: are the cores busy during the
+    // real index build? (busy-but-slow ⇒ bandwidth-bound, not scheduling)
+    var taskTime = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          taskTime += e.taskMetrics.executorRunTime + e.taskMetrics.executorDeserializeTime
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-probe-bw"
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    for (lap <- 1 to 3) {
+      rmrf(dir); taskTime = 0L
+      val t0 = System.nanoTime()
+      graft.index.IndexBuilder.build(spark,
+        graft.corpus.Corpus.synth(spark, 150000L, seed = 42L, parallelism = 64), dir,
+        graft.index.IndexBuilder.Config(salts = 8, partitions = 32,
+          mode = graft.analyze.Analyzer.Code))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain task-end events
+      println(f"[bandwidth] spark-build lap$lap wall=$wall%.2fs busy-cores=${taskTime / 1000.0 / wall}%.1f/32")
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    println(s"[bandwidth] sink=${sink.get()}") // defeat dead-code elimination
   }
 }
