@@ -100,9 +100,13 @@ object Cli {
 
     case "ingest" :: srcDir :: indexDir :: ckp :: rest =>
       val secs = opt(rest, "--seconds", "10").toInt
+      // continuous minor compaction by default: live segment count stays
+      // bounded (the ES background-merge cadence); --merge-at 0 disables
+      val mergeAt = opt(rest, "--merge-at", "8").toInt
       val avgdl = try IndexBuilder.openHandle(indexDir).stats(spark).avgdl
         catch { case _: Throwable => 80.0 }
-      val q = StreamingIngest.startIndexAppend(spark, srcDir, indexDir, ckp, avgdl)
+      val q = StreamingIngest.startIndexAppend(spark, srcDir, indexDir, ckp, avgdl,
+        mergeAtSegments = mergeAt)
       q.awaitTermination(secs * 1000L)
       q.stop()
       println(s"ingest stopped; segments under $indexDir/ingest_segments")

@@ -55,8 +55,15 @@ object Catalog {
     val folded: Set[String] = Fs.readString(s"$root/folded_segments")
       .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
-    val segs = Fs.listDirs(s"$dir/ingest_segments")
-      .filter(d => !folded(Fs.name(d)) && Fs.exists(s"$d/_DONE"))
+    val completed = Fs.listDirs(s"$dir/ingest_segments")
+      .filter(d => Fs.exists(s"$d/_DONE"))
+    // Minor compaction (Compactor.mergeSegments): a completed merged
+    // segment's `replaces` file hides its source segments the moment its
+    // _DONE lands — same one-marker visibility flip as the epoch pointer.
+    val replaced: Set[String] = completed.flatMap(d =>
+      Fs.readString(s"$d/replaces").toSeq
+        .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))).toSet
+    val segs = completed.filter(d => !folded(Fs.name(d)) && !replaced(Fs.name(d)))
     State(epoch, segs,
       s"${epoch.getOrElse("genesis")}:${segs.size}:${segs.hashCode.toHexString}")
   }

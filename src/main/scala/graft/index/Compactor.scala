@@ -42,6 +42,61 @@ object Compactor {
   private def parseEpoch(name: String): Int =
     name.stripPrefix("epoch-").toInt
 
+  /** MINOR compaction (the Lucene tiered-merge analog): concatenate all
+    * live streamed segments into ONE consolidated segment — no re-rank, no
+    * re-block, no touch of the batch index. Correct by construction:
+    * per-segment docId ranges and salt namespaces are disjoint, so
+    * docmeta/blocks/positions are pure unions copied as-is; termstats
+    * re-aggregates (sum df, max bound) and stats record the MIN source
+    * build-avgdl, which preserves the exact WAND bound factor. Visibility
+    * flips with one marker: the merged segment's `replaces` file names its
+    * sources, and Catalog hides them the instant `_DONE` lands. This is the
+    * op a 1 s-cadence ingest runs continuously (see
+    * StreamingIngest.startIndexAppend's mergeAtSegments) — it bounds
+    * per-query listing/union cost at a handful of segments forever, while
+    * the expensive full fold (`compact`) stays an occasional maintenance
+    * job.
+    */
+  def mergeSegments(spark: SparkSession, dir: String, minSegments: Int = 2): Handle = {
+    import spark.implicits._
+    val h = IndexBuilder.openHandle(dir)
+    val segs = h.segmentDirs
+    if (segs.size < minSegments) return h
+    val existing = Fs.listDirs(s"$dir/ingest_segments").map(Fs.name)
+    val k = existing.flatMap(n =>
+      if (n.startsWith("merged=")) Some(n.stripPrefix("merged=").toLong) else None)
+      .foldLeft(0L)(math.max) + 1
+    val out = s"$dir/ingest_segments/merged=$k"
+    Fs.delete(out) // stale crashed attempt
+    // small unions of small files — coalesce keeps the merged segment at a
+    // few files per table (the whole point: fewer paths per query)
+    for (t <- Seq("docmeta", "blocks", "positions"))
+      spark.read.parquet(segs.map(_ + s"/$t"): _*)
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/$t")
+    spark.read.parquet(segs.map(_ + "/termstats"): _*)
+      .groupBy($"term")
+      .agg(sum($"df").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats")
+    val srcStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
+      .as[IndexStats].collect()
+    Seq(IndexStats(srcStats.map(_.n).sum, srcStats.map(_.avgdl).min,
+        srcStats.map(_.totalTokens).sum)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats")
+    // replaces BEFORE the marker: a reader either sees no merged segment
+    // (sources still live) or a completed one (sources hidden) — never
+    // both. Carried TRANSITIVELY: if a source is itself a merged segment
+    // whose lazy deletion of ITS sources failed, those names must stay
+    // hidden after the source (and its replaces file) is deleted.
+    val transitive = segs.flatMap(d => Fs.readString(s"$d/replaces").toSeq
+      .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty)))
+    Fs.writeString(s"$out/replaces",
+      (segs.map(Fs.name) ++ transitive).distinct.sorted.mkString("\n"))
+    Fs.touch(s"$out/_DONE")
+    Catalog.invalidate(dir)
+    segs.foreach(Fs.delete) // lazy cleanup; already invisible via `replaces`
+    IndexBuilder.openHandle(dir)
+  }
+
   /** Fold all live streamed segments into a new epoch. No-op (returns the
     * handle unchanged) when there is nothing to fold. `cfg` supplies the
     * salt scheme — pass the same values the batch build used so the folded
@@ -160,7 +215,12 @@ object Compactor {
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")
         .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty[String])
-      val folded = (priorFolded ++ segs.map(Fs.name)).toSeq.sorted
+      // also fold the names a merged source segment was hiding (its
+      // `replaces` file dies with it; a failed lazy delete must not
+      // resurrect its sources)
+      val replacedBySegs = segs.flatMap(d => Fs.readString(s"$d/replaces").toSeq
+        .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty)))
+      val folded = (priorFolded ++ segs.map(Fs.name) ++ replacedBySegs).toSeq.sorted
       Fs.writeString(s"$newRoot/folded_segments", folded.mkString("\n"))
       Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
       Catalog.invalidate(dir)

@@ -78,22 +78,29 @@ object Searcher {
     terms.iterator.map(t => t -> m(prefix + t).longValue()).toMap
   }
 
-  /** Collected blocks for `terms`, served from the bounded per-term cache;
-    * misses fetched in ONE filtered collect (pushed-down pruned scan over
-    * exactly the missing terms). Residency is bounded by query df — a hot
-    * repeated term costs its own postings once, and the whole cache never
-    * exceeds MaxCachedPostings.
+  /** Optimistic coordinator fetch: collected blocks for `terms`, served
+    * from the bounded per-term cache; misses fetched in ONE filtered,
+    * LIMITed collect (pushed-down pruned scan over exactly the missing
+    * terms). `None` = the fetch hit the block limit — the posting volume is
+    * too large for the coordinator, caller takes the distributed path.
+    * Fusing the df lookup away is the point: df per term ≡ Σ block n (an
+    * index invariant EngineSpec asserts), so a cold coordinator query costs
+    * ONE scan job, not a termstats job + a postings job. Residency is
+    * bounded by query df — a hot repeated term costs its own postings once,
+    * and the whole cache never exceeds MaxCachedPostings.
     */
-  private def blocksFor(spark: SparkSession, h: IndexBuilder.Handle, fp: String,
-                        terms: Seq[String]): Seq[PostingBlock] = {
+  private def blocksProbe(spark: SparkSession, h: IndexBuilder.Handle, fp: String,
+                          terms: Seq[String], maxBlocks: Int): Option[Seq[PostingBlock]] = {
     val m = blockCache(spark)
     val prefix = s"${h.dir}|$fp|"
     evictStale(m, h.dir, prefix)(_ => ())
     val missing = terms.filterNot(t => m.contains(prefix + t))
-    val fetched: Map[String, Array[PostingBlock]] =
-      if (missing.isEmpty) Map.empty
+    val fetchedArr: Array[PostingBlock] =
+      if (missing.isEmpty) Array.empty
       else h.postingsAll(spark).filter(col("term").isin(missing: _*))
-        .collect().groupBy(_.term)
+        .limit(maxBlocks + 1).collect()
+    if (fetchedArr.length > maxBlocks) return None // volume too large: distribute
+    val fetched: Map[String, Array[PostingBlock]] = fetchedArr.groupBy(_.term)
     if (missing.nonEmpty) {
       var cached = m.values.iterator.map(_.iterator.map(_.n.toLong).sum).sum
       missing.foreach { t =>
@@ -109,11 +116,11 @@ object Searcher {
         }
       }
     }
-    terms.flatMap { t =>
+    Some(terms.flatMap { t =>
       val arr: Array[PostingBlock] =
         m.get(prefix + t).orElse(fetched.get(t)).getOrElse(Array.empty)
       arr
-    }
+    })
   }
 
   private def residentPostings(spark: SparkSession, h: IndexBuilder.Handle,
@@ -164,11 +171,14 @@ object Searcher {
   /** Disjunctive (OR, the Lucene `match` default) BM25 top-k.
     * k = Int.MaxValue ⇒ exhaustive: every matching doc, ranked.
     *
-    * Execution is adaptive: small posting volume (Σdf over query terms) →
-    * coordinator-side WAND over (cached) collected blocks — zero Spark jobs
-    * when the terms are warm; large → distributed per-salt WAND over a
-    * pushed-down pruned scan + global TakeOrderedAndProject merge. Results
-    * are identical — salts are disjoint sub-indexes either way.
+    * Execution is adaptive: an optimistic coordinator probe collects the
+    * query terms' blocks in ONE limited pruned-scan job (df derives from
+    * the blocks themselves — no separate termstats job; zero jobs when the
+    * terms are warm in the per-term cache); if the probe hits its block
+    * bound, the query re-plans as distributed per-salt WAND over the
+    * pushed-down pruned scan + a global TakeOrderedAndProject merge.
+    * Results are identical — salts are disjoint sub-indexes either way
+    * (EngineSpec asserts path identity).
     */
   def topK(spark: SparkSession, h: IndexBuilder.Handle, query: String, k: Int,
            conjunctive: Boolean = false,
@@ -180,29 +190,27 @@ object Searcher {
     val n = st.n
     val avgdl = st.avgdl
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    // df per query term over batch ∪ segments — memoized (tiny) then
-    // broadcast to tasks
-    val dfs: Map[String, Long] = dfForCached(spark, h, fp, terms)
-    val idfs: Map[String, Double] =
-      terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
     val conj = conjunctive
     val nTerms = terms.length
     val resident = spark.conf.getOption("spark.graft.index.residentPostings")
       .contains("true")
 
-    if (dfs.values.sum <= driverPathMaxPostings) {
-      val blocks: Seq[PostingBlock] =
-        if (resident)
-          residentPostings(spark, h, fp).filter($"term".isin(terms: _*)).collect().toSeq
-        else blocksFor(spark, h, fp, terms)
+    def driverWand(blocks: Seq[PostingBlock]): Dataset[Hit] = {
+      // df ≡ Σ block n per term (index invariant) — no termstats job needed
+      val dfs = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.iterator.map(_.n.toLong).sum }
+      val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
       val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor)
         .toArray.sortBy { case (d, s) => (-s, d) }
       val top = if (k == Int.MaxValue) hits else hits.take(k)
       spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
-    } else {
+    }
+
+    def distributed(): Dataset[Hit] = {
       // large-df path: NO caching by design — this is the regime where the
       // posting volume is a meaningful corpus fraction, so the right plan is
       // the pushed-down pruned scan feeding the per-salt WAND, not residency
+      val dfs = dfForCached(spark, h, fp, terms)
+      val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
       val base = if (resident) residentPostings(spark, h, fp) else h.postingsAll(spark)
       val matching = base.filter($"term".isin(terms: _*))
       val bIdfs = spark.sparkContext.broadcast(idfs)
@@ -220,6 +228,25 @@ object Searcher {
       // TakeOrderedAndProject when k is finite.
       if (k == Int.MaxValue) perSalt.orderBy($"score".desc, $"docId".asc)
       else perSalt.orderBy($"score".desc, $"docId".asc).limit(k)
+    }
+
+    if (resident) {
+      // conf-gated full residency: one InMemoryRelation serves both paths
+      val blocks = residentPostings(spark, h, fp)
+        .filter($"term".isin(terms: _*)).collect().toSeq
+      if (blocks.iterator.map(_.n.toLong).sum <= driverPathMaxPostings) driverWand(blocks)
+      else distributed()
+    } else if (driverPathMaxPostings <= 0L) distributed()
+    else {
+      // optimistic coordinator probe: one limited pruned-scan collect; the
+      // block bound keeps coordinator postings ≤ driverPathMaxPostings even
+      // when every block is full
+      val maxBlocks = math.max(64L,
+        driverPathMaxPostings / graft.index.Codec.BlockSize).toInt
+      blocksProbe(spark, h, fp, terms, maxBlocks) match {
+        case Some(blocks) => driverWand(blocks)
+        case None => distributed()
+      }
     }
   }
 

@@ -59,16 +59,29 @@ object StreamingIngest {
     * reference's start-at-last-ledger heuristic (ingest.go:56-78,
     * INGEST_GAP). The segment analyzer mode follows the base index's
     * persisted mode so streamed and batch postings tokenize identically.
+    *
+    * `mergeAtSegments` > 0 enables continuous MINOR compaction (the ES
+    * background tiered merge the reference delegates to Lucene): whenever
+    * the live segment count reaches the threshold, the batch's commit is
+    * followed by `Compactor.mergeSegments`, concatenating them into one
+    * consolidated segment — per-query listing/union cost stays bounded at
+    * the threshold forever, without ever paying the full epoch fold. The
+    * merge is idempotent and marker-committed, so a crash mid-merge leaves
+    * the sources live and the half-merge invisible.
     */
   def startIndexAppend(spark: SparkSession, srcDir: String, indexDir: String,
                        checkpointDir: String, avgdl: Double, salts: Int = 4,
-                       baseDocId: Long = 1L << 40): StreamingQuery = {
+                       baseDocId: Long = 1L << 40,
+                       mergeAtSegments: Int = 0): StreamingQuery = {
     val mode = IndexBuilder.openHandle(indexDir).mode
     source(spark, srcDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second")) // reference poll cadence
       .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
         appendSegment(spark, batch, batchId, indexDir, avgdl, salts, baseDocId, mode)
+        if (mergeAtSegments > 0 &&
+            IndexBuilder.openHandle(indexDir).segmentDirs.size >= mergeAtSegments)
+          graft.index.Compactor.mergeSegments(spark, indexDir)
         ()
       }
       .start()

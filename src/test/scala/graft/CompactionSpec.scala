@@ -110,6 +110,64 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
       graft.query.Phrase.search(spark, hAll, "the import").collect().toSeq)
   }
 
+  test("minor merge concatenates segments: one segment, identical results, same bound factor") {
+    import spark.implicits._
+    val all = (0 until 80).map(i => Corpus.synthDoc(i, 37L))
+    val idx = tmpDir("graft-merge-idx")
+    val cfg = IndexBuilder.Config(salts = 4)
+    val h = IndexBuilder.build(spark, all.take(40).toDS(), idx, cfg)
+    val avgdl = h.stats(spark).avgdl
+    for (b <- 0 until 4)
+      StreamingIngest.appendSegment(spark, all.slice(40 + b * 10, 50 + b * 10).toDS(),
+        b.toLong, idx, avgdl, 4, 1L << 40)
+    assert(h.segmentDirs.size == 4)
+    val before = queries.map(q => q -> byCommit(h, q)).toMap
+    val (stBefore, factorBefore) = h.liveStats(spark)
+
+    val hm = Compactor.mergeSegments(spark, idx)
+    assert(hm.segmentDirs.size == 1 && hm.segmentDirs.head.contains("merged="))
+    val (stAfter, factorAfter) = hm.liveStats(spark)
+    assert(stAfter == stBefore && factorAfter == factorBefore,
+      "minor merge must not change live stats or the WAND bound factor")
+    for (q <- queries)
+      assert(byCommit(hm, q) == before(q), s"results changed across minor merge for '$q'")
+
+    // tiered: another segment lands, second merge folds (merged=1 + batch=9)
+    StreamingIngest.appendSegment(spark, all.slice(40, 45).toDS()
+      .map(d => d.copy(commit = d.commit + "x")), 9L, idx, avgdl, 4, 1L << 40)
+    val hm2 = Compactor.mergeSegments(spark, idx)
+    assert(hm2.segmentDirs.size == 1 && hm2.segmentDirs.head.contains("merged=2"))
+    // transitive replaces: the first merge's sources stay hidden even though
+    // merged=1 (and its replaces file) is gone
+    val rep = graft.index.Fs.readString(hm2.segmentDirs.head + "/replaces").get
+    assert(rep.contains("merged=1") && rep.contains("batch=0"))
+
+    // the full fold still works over a merged segment
+    val hc = Compactor.compact(spark, idx, cfg)
+    assert(hc.segmentDirs.isEmpty && hc.liveStats(spark)._2 == 1.0)
+  }
+
+  test("ingest stream with mergeAtSegments keeps the live segment count bounded") {
+    import spark.implicits._
+    val src = tmpDir("graft-automerge-src")
+    val idx = tmpDir("graft-automerge-idx")
+    val ckp = tmpDir("graft-automerge-ckp")
+    val docs = (0 until 60).map(i => Corpus.synthDoc(i, 41L))
+    for (g <- docs.grouped(10))
+      g.toDS().coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingIngest.startIndexAppend(spark, src, idx, ckp, avgdl = 80.0,
+      mergeAtSegments = 3)
+    q.processAllAvailable()
+    q.stop()
+    val h = IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    assert(h.segmentDirs.size <= 3,
+      s"auto-merge should bound live segments at 3, got ${h.segmentDirs.size}")
+    // every streamed doc searchable exactly once
+    val ids = spark.read.parquet(h.segmentDirs.map(_ + "/docmeta"): _*)
+      .select(col("docId")).collect().map(_.getLong(0))
+    assert(ids.length == 60 && ids.distinct.length == 60)
+  }
+
   test("phrase query on an index without the positional tier fails loudly") {
     import spark.implicits._
     val idx = tmpDir("graft-nopos-idx")
