@@ -30,6 +30,52 @@ object Probe {
     for (r <- 1 to rounds; q <- qs) q match {
       case "bandwidth" =>
         if (r == 1) bandwidthProbe(spark)
+      case "scaleconf" =>
+        // A/B shuffle-conf variants for the secondary scaling pair: same
+        // 300k-doc build at local[8] vs local[32] per variant, one warm lap
+        // + best-of-2 measured. Run exclusively (host noise!).
+        if (r == 1) {
+          def build(cores: Int, extra: Map[String, String]): Double = {
+            val b = SparkSession.builder()
+              .master(s"local[$cores]").appName(s"scaleconf-$cores")
+              .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.ui.enabled", "false")
+            extra.foreach { case (k, v) => b.config(k, v) }
+            val s = b.getOrCreate()
+            s.sparkContext.setLogLevel("ERROR")
+            try {
+              val dir = s"${sys.props("java.io.tmpdir")}/graft-scaleconf"
+              def rmrf(p: String): Unit = {
+                val f = new java.io.File(p)
+                if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+                f.delete()
+              }
+              def lap(n: Long): Double = {
+                rmrf(dir)
+                val t0 = System.nanoTime()
+                graft.index.IndexBuilder.build(s,
+                  graft.corpus.Corpus.synth(s, n, seed = 42L, parallelism = cores * 2),
+                  dir, graft.index.IndexBuilder.Config(salts = 8,
+                    partitions = cores * 2, mode = graft.analyze.Analyzer.Code))
+                n / ((System.nanoTime() - t0) / 1e9)
+              }
+              lap(100000) // warm
+              math.max(lap(300000), lap(300000))
+            } finally s.stop()
+          }
+          val variants = Seq(
+            "baseline" -> Map.empty[String, String],
+            "no-shuffle-compress" -> Map("spark.shuffle.compress" -> "false",
+              "spark.shuffle.spill.compress" -> "false"),
+            "lz4-big-buffer" -> Map("spark.shuffle.file.buffer" -> "1m",
+              "spark.io.compression.codec" -> "lz4"))
+          for ((name, conf) <- variants) {
+            val t8 = build(8, conf)
+            val t32 = build(32, conf)
+            println(f"[scaleconf] $name%-22s 8c=${t8}%.0f 32c=${t32}%.0f docs/s eff_8_32=${t32 / t8 / 4.0}%.2f")
+          }
+        }
       case "ingest" =>
         // steady-state micro-batch latency (the 1 s trigger budget): one
         // warm-up batch, then per-append wall time for 12 batches of 100
