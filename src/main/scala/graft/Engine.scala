@@ -12,8 +12,11 @@ import graft.index.IndexBuilder
   * check in IndexBuilder.stageComplete guards staleness).
   */
 object Engine {
-  /** Bump to invalidate on-disk index layouts when the format changes. */
-  val FormatVersion = "v2"
+  /** Bump to invalidate on-disk index layouts when the format changes.
+    * v3: IndexStats gained buildAvgdl (sampled; lets docmeta/postings
+    * build concurrently).
+    */
+  val FormatVersion = "v3"
 
   // Handles are cheap, but building is not — memoize per (session, key);
   // graft.SessionCache sweeps stopped sessions (Bench creates and stops a

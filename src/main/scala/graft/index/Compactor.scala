@@ -79,8 +79,13 @@ object Compactor {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats")
     val srcStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
       .as[IndexStats].collect()
-    Seq(IndexStats(srcStats.map(_.n).sum, srcStats.map(_.avgdl).min,
-        srcStats.map(_.totalTokens).sum)).toDS()
+    val mergedN = srcStats.map(_.n).sum
+    val mergedTok = srcStats.map(_.totalTokens).sum
+    // buildAvgdl = min over sources: liveStats' min-aggregation sees the
+    // same minimum before and after the merge, so the WAND bound factor is
+    // unchanged exactly
+    Seq(IndexStats(mergedN, mergedTok.toDouble / mergedN.toDouble, mergedTok,
+        srcStats.map(_.buildAvgdl).min)).toDS()
       .coalesce(1).write.mode("overwrite").parquet(s"$out/stats")
     // replaces BEFORE the marker: a reader either sees no merged segment
     // (sources still live) or a completed one (sources hidden) — never
@@ -143,7 +148,13 @@ object Compactor {
       val tot = dmAcc.value.asScala.groupBy(_.partitionId)
         .map(_._2.head.termCount).sum
       val avgdl = tot.toDouble / n.toDouble
-      Seq(IndexStats(n, avgdl, tot)).toDS()
+      // the SAME deterministic sampled buildAvgdl a fresh build over the
+      // union would compute (the sample is a pure function of the re-ranked
+      // docIds and the mean a long-sum/long-count) — this is what makes the
+      // folded epoch bit-identical to a fresh build, block maxima included
+      val est = IndexBuilder.estimateBuildAvgdl(
+        spark.read.parquet(s"$newRoot/docmeta").select($"docId", $"dl"))
+      Seq(IndexStats(n, avgdl, tot, est)).toDS()
         .write.mode("overwrite").parquet(s"$newRoot/stats")
       IndexBuilder.writeLineageRows(spark, newRoot, "stats",
         java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
@@ -173,7 +184,7 @@ object Compactor {
         .repartition(parts, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
         .as[TermDoc]
-        .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
+        .mapPartitions(IndexBuilder.buildBlocks(_, est))
         .mapPartitions(IndexBuilder.tally(poAcc, "postings")(
           b => b.firstDocId, b => b.lastDocId, _ => 1L,
           b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,

@@ -135,26 +135,27 @@ object IndexBuilder {
 
     /** Live corpus stats over batch + streamed segments, plus the WAND
       * bound factor. Each source's blocks store maxImpact computed with the
-      * avgdl at ITS build time; the live query avgdl differs once segments
-      * arrive. impact(tf,dl,a) is monotone in a with ratio ≤ max(1, a'/a)
-      * (the dl term scales by a/a'), so multiplying every stored bound by
-      * max(1, liveAvgdl / min(buildAvgdl)) keeps block-max WAND admissible
-      * (rank-exact, marginally less pruning); exact scoring always uses the
-      * live avgdl.
+      * avgdl at ITS build time (`buildAvgdl` — for the batch stage a
+      * deterministic sampled estimate, for segments the append-time value);
+      * the live query avgdl differs. impact(tf,dl,a) is monotone in a with
+      * ratio ≤ max(1, a'/a) (the dl term scales by a/a'), so multiplying
+      * every stored bound by max(1, liveAvgdl / min(buildAvgdl)) keeps
+      * block-max WAND admissible (rank-exact, marginally less pruning);
+      * exact scoring always uses the live avgdl.
       */
     def liveStats(spark: SparkSession): (IndexStats, Double) = {
       import spark.implicits._
       val base = stats(spark)
       val segs = segmentDirs
-      if (segs.isEmpty) (base, 1.0)
+      if (segs.isEmpty) (base, math.max(1.0, base.avgdl / base.buildAvgdl))
       else {
         val segStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
           .as[IndexStats].collect()
         val n = base.n + segStats.map(_.n).sum
         val tok = base.totalTokens + segStats.map(_.totalTokens).sum
         val avgdl = tok.toDouble / n.toDouble
-        val minBuild = (base.avgdl +: segStats.map(_.avgdl)).min
-        (IndexStats(n, avgdl, tok), math.max(1.0, avgdl / minBuild))
+        val minBuild = (base.buildAvgdl +: segStats.map(_.buildAvgdl)).min
+        (IndexStats(n, avgdl, tok, minBuild), math.max(1.0, avgdl / minBuild))
       }
     }
 
@@ -262,6 +263,46 @@ object IndexBuilder {
     } else f
   }
 
+  /** Deterministic sampled build-avgdl over a (docId, dl) frame: mean dl of
+    * the docs whose xxhash64(docId) lands in a 1/128 sample (widening to
+    * 1/8 then all docs when the sample is empty — tiny corpora). Bit-exact
+    * reproducible: the sample is a pure function of docIds, and the mean is
+    * a LONG sum / LONG count (order-independent), so the build (tokenizing
+    * the sampled docs) and the compactor (reading their stored dl) compute
+    * the identical double. Decouples the postings stage from exact stats so
+    * docmeta and postings run CONCURRENTLY; block-max WAND stays admissible
+    * via liveStats' max(1, avgdl/buildAvgdl) factor (a few % at most).
+    */
+  private[index] def estimateBuildAvgdl(docIdDl: DataFrame): Double = {
+    val rates = Seq(128L, 8L, 1L)
+    var i = 0
+    var res = -1.0
+    while (res < 0 && i < rates.length) {
+      val r = docIdDl
+        .filter(pmod(xxhash64(col("docId")), lit(rates(i))) === 0)
+        .agg(sum(col("dl")).cast("long").as("s"), count(lit(1)).as("c")).head()
+      if (r.getLong(1) > 0) res = r.getLong(0).toDouble / r.getLong(1)
+      i += 1
+    }
+    if (res < 0) 1.0 else res
+  }
+
+  /** Run independent Spark jobs from parallel driver threads; rethrows the
+    * first failure. Used to overlap the docmeta/postings builds (they share
+    * the cached id-assigned input, and local cores are under-occupied by a
+    * single stage's tail) and the ingest segment writes.
+    */
+  private[graft] def runConcurrently(thunks: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = thunks.map { f =>
+      new Thread(() =>
+        try f() catch { case t: Throwable => errs.compareAndSet(null, t); () })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (errs.get() != null) throw errs.get()
+  }
+
   def build(spark: SparkSession, corpus: Dataset[CorpusDoc], dir: String,
             cfg: Config = Config()): Handle = {
     import spark.implicits._
@@ -284,15 +325,27 @@ object IndexBuilder {
     graft.functions.TokenStats.register(spark)
     def tokenStats = call_function("token_stats", $"content", lit(mode.name))
 
+    val docmetaDone = stageComplete(spark, dir, "docmeta")
+    val postingsDone = stageComplete(spark, dir, "postings")
+
+    // sampled buildAvgdl (see estimateBuildAvgdl): from the existing docmeta
+    // when resuming past stage 1, else by tokenizing the ~1/128 sample of
+    // the id-assigned corpus — one cheap job either way, identical value.
+    lazy val buildAvgdl: Double = timedStage("estAvgdl") {
+      val src =
+        if (docmetaDone) spark.read.parquet(s"$dir/docmeta").select($"docId", $"dl")
+        else withIds().select($"docId", tokenStats.getField("dl").as("dl"))
+      estimateBuildAvgdl(src)
+    }
+
     // ---- stage 1: docmeta -------------------------------------------------
     // Pure column expressions (token_stats is a native codegen Expression) —
     // the only object pass is the lineage tally over the narrow final rows.
     // Lineage is tallied by an accumulator inside the SAME job that writes
     // the table (one pass, no read-back job). For docmeta, lineage.termCount
-    // carries Σdl per partition, which lets stage 2 derive (N, avgdl) with
-    // zero additional scans.
-    val docmetaDone = stageComplete(spark, dir, "docmeta")
-    if (!docmetaDone) timedStage("docmeta") {
+    // carries Σdl per partition, which lets the stats stage derive (N, avgdl)
+    // with zero additional scans.
+    def docmetaJob(): Unit = timedStage("docmeta") {
       val acc = newLineageAcc(spark, "docmeta")
       val meta = withIds().select($"docId", $"repo", $"path", $"commit", $"lang",
           tokenStats.getField("dl").as("dl"),
@@ -307,29 +360,16 @@ object IndexBuilder {
       writeLineageRows(spark, dir, "docmeta", acc.value)
     }
 
-    // ---- stage 2: stats (derived from docmeta lineage; no table scan) -----
-    if (!stageComplete(spark, dir, "stats")) timedStage("stats") {
-      val lin = spark.read.parquet(s"$dir/lineage/docmeta").as[LineageRow].collect()
-      val n = lin.map(_.rows).sum
-      val tot = lin.map(_.termCount).sum
-      // avgdl defined as sum/count in double — transliterated identically in
-      // the oracle SQL (DuckDB avg over ints computes the same).
-      val st = IndexStats(n, tot.toDouble / n.toDouble, tot)
-      Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
-      writeLineageRows(spark, dir, "stats",
-        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
-    }
-    val st = spark.read.parquet(s"$dir/stats").as[IndexStats].head()
-    val n = st.n
-    val avgdl = st.avgdl
-    val salts = effectiveSalts(cfg, n)
-
-    // ---- stage 3: postings ------------------------------------------------
-    if (!stageComplete(spark, dir, "postings")) timedStage("postings") {
-      // docIds are deterministic (data-derived), so on a resumed build this
-      // re-derives exactly the ids persisted in docmeta — cheaper than a
-      // 3-string-key shuffle join of docmeta back to corpus; in a fresh
-      // build the persisted dataset from stage 1 is reused directly.
+    // ---- stage 2: postings ------------------------------------------------
+    // docIds are deterministic (data-derived), so on a resumed build this
+    // re-derives exactly the ids persisted in docmeta — cheaper than a
+    // 3-string-key shuffle join of docmeta back to corpus; in a fresh
+    // build the persisted dataset from stage 1 is reused directly. Block
+    // maxima use the SAMPLED buildAvgdl so this stage has no dependency on
+    // docmeta/stats — it runs concurrently with docmeta.
+    def postingsJob(est: Double): Unit = timedStage("postings") {
+      val n = sharedIds.n
+      val salts = effectiveSalts(cfg, n)
       val acc = newLineageAcc(spark, "postings")
       // tokenize → explode → salt, all in whole-stage codegen (token_stats
       // evaluated once per row in the projection feeding the Generate);
@@ -346,7 +386,7 @@ object IndexBuilder {
         .repartition(parts, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
         .as[TermDoc]
-        .mapPartitions(buildBlocks(_, avgdl))
+        .mapPartitions(buildBlocks(_, est))
         .mapPartitions(tally(acc, "postings")(
           b => b.firstDocId, b => b.lastDocId, _ => 1L,
           b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
@@ -354,6 +394,31 @@ object IndexBuilder {
             java.util.Arrays.hashCode(b.docDeltas).toLong)))
       blocks.write.mode("overwrite").parquet(s"$dir/postings")
       writeLineageRows(spark, dir, "postings", acc.value)
+    }
+
+    if (!docmetaDone || !postingsDone) {
+      withIds() // materialize the shared sort + exact count once
+      val est = buildAvgdl
+      val jobs = Seq(
+        if (docmetaDone) None else Some(() => docmetaJob()),
+        if (postingsDone) None else Some(() => postingsJob(est))).flatten
+      // both pending → overlap the two tokenize passes (a single stage's
+      // tasks leave local cores idle at stage tails; two independent jobs
+      // fill them — on a cluster, two jobs pipelined over one cached input)
+      if (jobs.size == 2) runConcurrently(jobs) else jobs.foreach(_())
+    }
+
+    // ---- stage 3: stats (derived from docmeta lineage; no table scan) -----
+    if (!stageComplete(spark, dir, "stats")) timedStage("stats") {
+      val lin = spark.read.parquet(s"$dir/lineage/docmeta").as[LineageRow].collect()
+      val n = lin.map(_.rows).sum
+      val tot = lin.map(_.termCount).sum
+      // avgdl defined as sum/count in double — transliterated identically in
+      // the oracle SQL (DuckDB avg over ints computes the same).
+      val st = IndexStats(n, tot.toDouble / n.toDouble, tot, buildAvgdl)
+      Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
+      writeLineageRows(spark, dir, "stats",
+        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
     }
 
     // ---- stage 4: termstats ----------------------------------------------

@@ -42,8 +42,16 @@ final case class PostingBlock(term: String, salt: Int, blockIdx: Int,
 /** Global term statistics, broadcast at query time. */
 final case class TermStat(term: String, df: Long, maxImpact: Double)
 
-/** Corpus-level stats (broadcast). */
-final case class IndexStats(n: Long, avgdl: Double, totalTokens: Long)
+/** Corpus-level stats (broadcast). `avgdl` is the EXACT mean doc length
+  * (what scoring uses); `buildAvgdl` is the avgdl the source's block
+  * maxima were computed against — for a batch build a deterministic
+  * sampled estimate (which lets the docmeta and postings stages run
+  * CONCURRENTLY instead of serializing on exact stats), for a streamed
+  * segment the avgdl passed at append time. Block-max WAND stays
+  * admissible by multiplying stored bounds by max(1, avgdl/buildAvgdl)
+  * (impact is monotone in avgdl — see Handle.liveStats).
+  */
+final case class IndexStats(n: Long, avgdl: Double, totalTokens: Long, buildAvgdl: Double)
 
 /** Per-partition lineage row, written atomically with each stage's data —
   * the resume + reconciliation record (north rule; reference analogs:

@@ -184,7 +184,7 @@ object StreamingIngest {
           .as[(String, Long, Int)]
           .mapPartitions(IndexBuilder.buildPositionRows)
           .write.mode("overwrite").parquet(s"$segDir/positions"))
-      runConcurrently(writers)
+      IndexBuilder.runConcurrently(writers)
 
       // driver-local writes (tiny): per-segment corpus stats — n + Σdl, with
       // the avgdl the blocks' maxImpact was computed against (liveStats uses
@@ -192,6 +192,7 @@ object StreamingIngest {
       // accumulators deduped by partitionId
       import scala.jdk.CollectionConverters._
       val tok = dlAcc.value.asScala.groupBy(_._1).map(_._2.head._2).sum
+      val segAvgdl = tok.toDouble / cnt.toDouble
       val termstats = tsAcc.value.asScala.groupBy(_._1).map(_._2.head._2)
         .foldLeft(Map.empty[String, (Long, Double)]) { (acc, m) =>
           m.foldLeft(acc) { case (a, (t, (df, mi))) =>
@@ -199,8 +200,8 @@ object StreamingIngest {
             a.updated(t, (df0 + df, math.max(mi0, mi)))
           }
         }
-      runConcurrently(Seq(
-        () => Seq(IndexStats(cnt, avgdl, tok)).toDS()
+      IndexBuilder.runConcurrently(Seq(
+        () => Seq(IndexStats(cnt, segAvgdl, tok, avgdl)).toDS()
           .write.mode("overwrite").parquet(s"$segDir/stats"),
         () => termstats.toSeq.map { case (t, (df, mi)) => (t, df, mi) }
           .toDF("term", "df", "maxImpact")
@@ -210,21 +211,6 @@ object StreamingIngest {
       Fs.touch(s"$segDir/_DONE")
       Catalog.invalidate(indexDir)
     } finally assigned.release()
-  }
-
-  /** Run independent Spark write jobs from parallel driver threads (plain
-    * Threads — per-batch, so no shared pool lifecycle); rethrows the first
-    * failure so the segment marker is never written on a partial segment.
-    */
-  private def runConcurrently(thunks: Seq[() => Unit]): Unit = {
-    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val ts = thunks.map { f =>
-      new Thread(() =>
-        try f() catch { case t: Throwable => errs.compareAndSet(null, t); () })
-    }
-    ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (errs.get() != null) throw errs.get()
   }
 
   /** Wraps a partition iterator to fold rows into a per-partition tally and

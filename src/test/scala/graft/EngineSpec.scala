@@ -183,8 +183,10 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       val dls = graft.index.Codec.decodeInts(b.dls, b.n)
       assert(docs.toSeq == docs.sorted.toSeq && docs.distinct.length == docs.length)
       assert(docs.head == b.firstDocId && docs.last == b.lastDocId)
+      // block maxima are computed at the SAMPLED buildAvgdl (stats carries
+      // it; scoring still uses the exact avgdl + liveStats' bound factor)
       val maxImp = tfs.zip(dls).map { case (tf, dl) =>
-        graft.query.Bm25.impact(tf, dl, st.avgdl)
+        graft.query.Bm25.impact(tf, dl, st.buildAvgdl)
       }.max
       assert(maxImp == b.maxImpact, s"block-max mismatch for ${b.term}/${b.salt}/${b.blockIdx}")
     }
