@@ -49,7 +49,7 @@ object Cli {
 
   private def corpusOf(spark: SparkSession, srcDir: String): Dataset[CorpusDoc] = {
     import spark.implicits._
-    if (new java.io.File(s"$srcDir/documents.parquet").exists())
+    if (graft.index.Fs.exists(s"$srcDir/documents.parquet"))
       Corpus.fromDocuments(spark, srcDir)
     else spark.read.parquet(srcDir)
       .select("repo", "path", "commit", "lang", "content").as[CorpusDoc]
@@ -57,13 +57,10 @@ object Cli {
 
   def run(spark: SparkSession, args: Seq[String]): Unit = args.toList match {
     case "create-index" :: dir :: rest =>
-      val f = new java.io.File(dir)
-      if (f.exists() && flag(rest, "--force")) {
-        def rm(p: java.io.File): Unit = { if (p.isDirectory) p.listFiles.foreach(rm); p.delete() }
-        rm(f) // --force drop-recreate (commands/create-index.go:29-42 analog)
-      }
-      require(!f.exists() || f.listFiles().isEmpty, s"index exists at $dir (use --force)")
-      f.mkdirs()
+      // --force drop-recreate (commands/create-index.go:29-42 analog)
+      if (flag(rest, "--force")) graft.index.Fs.delete(dir)
+      require(graft.index.Fs.isAbsentOrEmptyDir(dir), s"index exists at $dir (use --force)")
+      graft.index.Fs.mkdirs(dir)
       println(s"created $dir")
 
     case "export" :: srcDir :: indexDir :: rest =>
@@ -148,7 +145,7 @@ object Cli {
         val actual = spark.read.parquet(s"$seg/docmeta").count()
         val ok = st.n == actual
         if (!ok) bad += 1
-        val name = new java.io.File(seg).getName
+        val name = graft.index.Fs.name(seg)
         println(f"$name%-10s ${st.n}%12d $actual%12d  ${if (ok) "OK" else "MISMATCH"}")
       }
       require(bad == 0, s"$bad stage(s) failed reconciliation")

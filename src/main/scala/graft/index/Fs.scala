@@ -70,6 +70,18 @@ object Fs {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
   }
 
+  /** True when `path` is absent or an empty directory. */
+  def isAbsentOrEmptyDir(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    !fs.exists(p) || fs.listStatus(p).isEmpty
+  }
+
+  def mkdirs(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    fs.mkdirs(p)
+    ()
+  }
+
   def delete(path: String): Unit = {
     val (fs, p) = fsOf(path)
     fs.delete(p, true)
