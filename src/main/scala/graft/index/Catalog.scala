@@ -18,11 +18,15 @@ object Catalog {
 
   /** `epoch` = active epoch dir name under the index dir (None = genesis
     * layout, tables directly under the dir). `segments` = completed,
-    * un-folded streamed segment paths. `fingerprint` keys every downstream
-    * cache (postings/stats/df) — any segment arrival or compaction changes
-    * it.
+    * un-folded streamed segment paths. `hidden` = segment NAMES permanently
+    * excluded by the current epoch's folded list or a live merged segment's
+    * replaces list — a new segment must never reuse one of these names
+    * (it would be invisible forever). `fingerprint` keys every downstream
+    * cache (postings/stats/df) — any segment arrival, compaction, or
+    * same-dir rebuild changes it.
     */
-  final case class State(epoch: Option[String], segments: Seq[String], fingerprint: String)
+  final case class State(epoch: Option[String], segments: Seq[String],
+                         hidden: Set[String], fingerprint: String)
 
   private final case class Entry(atMs: Long, state: State)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
@@ -64,7 +68,13 @@ object Catalog {
       Fs.readString(s"$d/replaces").toSeq
         .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))).toSet
     val segs = completed.filter(d => !folded(Fs.name(d)) && !replaced(Fs.name(d)))
-    State(epoch, segs,
-      s"${epoch.getOrElse("genesis")}:${segs.size}:${segs.hashCode.toHexString}")
+    // stamp the fingerprint with the postings-stage marker mtime: a
+    // delete+rebuild of the SAME dir (create-index --force + export in one
+    // session) would otherwise fingerprint identically and serve the old
+    // corpus's cached blocks/df/stats — the same stale-cache class the IVF
+    // mtime key fixes (Similarity.ivfKey)
+    val stamp = Fs.mtime(s"$root/_STAGE_postings")
+    State(epoch, segs, folded ++ replaced,
+      s"${epoch.getOrElse("genesis")}:$stamp:${segs.size}:${segs.hashCode.toHexString}")
   }
 }

@@ -42,6 +42,30 @@ object Compactor {
   private def parseEpoch(name: String): Int =
     name.stripPrefix("epoch-").toInt
 
+  // ---- deferred GC --------------------------------------------------------
+  // Dirs made invisible by a commit are NOT deleted in the same call: an
+  // in-flight query (or a TTL-stale catalog, ≤2 s) may still be scanning
+  // them. Their dir-relative paths are recorded in `$dir/_gc` and physically
+  // deleted at the START of the NEXT maintenance op — a full maintenance
+  // cycle of grace, which is the practical analog of Lucene's
+  // reader-refcounted deletes without distributed reference counting.
+
+  private def gcDefer(dir: String, relPaths: Seq[String]): Unit = {
+    val prior = Fs.readString(s"$dir/_gc").toSeq
+      .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))
+    Fs.writeString(s"$dir/_gc", (prior ++ relPaths).distinct.mkString("\n"))
+  }
+
+  private def gcSweep(dir: String): Unit =
+    Fs.readString(s"$dir/_gc").foreach { c =>
+      c.split('\n').map(_.trim).filter(_.nonEmpty)
+        .foreach(rel => Fs.delete(s"$dir/$rel"))
+      Fs.delete(s"$dir/_gc")
+    }
+
+  private def segRel(segPath: String): String =
+    s"ingest_segments/${Fs.name(segPath)}"
+
   /** MINOR compaction (the Lucene tiered-merge analog): concatenate all
     * live streamed segments into ONE consolidated segment — no re-rank, no
     * re-block, no touch of the batch index. Correct by construction:
@@ -59,12 +83,19 @@ object Compactor {
     */
   def mergeSegments(spark: SparkSession, dir: String, minSegments: Int = 2): Handle = {
     import spark.implicits._
+    gcSweep(dir) // previously deferred dirs have had a full cycle of grace
     val h = IndexBuilder.openHandle(dir)
     val segs = h.segmentDirs
     if (segs.size < minSegments) return h
-    val existing = Fs.listDirs(s"$dir/ingest_segments").map(Fs.name)
-    val k = existing.flatMap(n =>
-      if (n.startsWith("merged=")) Some(n.stripPrefix("merged=").toLong) else None)
+    // the new name must never collide with a LIVE dir name OR a name some
+    // folded/replaces list still hides (a full compact deletes merged dirs
+    // but their names persist in folded_segments forever — recycling one
+    // would make the new segment, and everything its replaces list names,
+    // permanently invisible)
+    val taken = Fs.listDirs(s"$dir/ingest_segments").map(Fs.name) ++
+      Catalog.of(dir).hidden
+    val k = taken.flatMap(n =>
+      if (n.startsWith("merged=")) n.stripPrefix("merged=").toLongOption else None)
       .foldLeft(0L)(math.max) + 1
     val out = s"$dir/ingest_segments/merged=$k"
     Fs.delete(out) // stale crashed attempt
@@ -98,7 +129,8 @@ object Compactor {
       (segs.map(Fs.name) ++ transitive).distinct.sorted.mkString("\n"))
     Fs.touch(s"$out/_DONE")
     Catalog.invalidate(dir)
-    segs.foreach(Fs.delete) // lazy cleanup; already invisible via `replaces`
+    // deferred cleanup; already invisible via `replaces` (see gcDefer)
+    gcDefer(dir, segs.map(segRel))
     IndexBuilder.openHandle(dir)
   }
 
@@ -109,6 +141,7 @@ object Compactor {
     */
   def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle = {
     import spark.implicits._
+    gcSweep(dir) // previously deferred dirs have had a full cycle of grace
     val h = IndexBuilder.openHandle(dir)
     val segs = h.segmentDirs
     if (segs.isEmpty) return h
@@ -236,9 +269,10 @@ object Compactor {
       Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
       Catalog.invalidate(dir)
 
-      // ---- lazy cleanup (best-effort; readers already ignore these) ------
-      segs.foreach(Fs.delete)
-      if (oldRoot != dir) Fs.delete(oldRoot)
+      // ---- deferred cleanup (readers already ignore these; deleted by the
+      // next maintenance op — see gcDefer) ---------------------------------
+      gcDefer(dir, segs.map(segRel) ++
+        (if (oldRoot != dir) Seq(Fs.name(oldRoot)) else Seq.empty))
     } finally assigned.release()
     IndexBuilder.openHandle(dir)
   }

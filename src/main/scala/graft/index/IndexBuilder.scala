@@ -71,10 +71,8 @@ object IndexBuilder {
       import spark.implicits._
       spark.read.parquet(s"$root/termstats").as[TermStat]
     }
-    def stats(spark: SparkSession): IndexStats = {
-      import spark.implicits._
-      spark.read.parquet(s"$root/stats").as[IndexStats].head()
-    }
+    def stats(spark: SparkSession): IndexStats =
+      readStatsCompat(spark, Seq(s"$root/stats")).head
     def lineage(spark: SparkSession): Dataset[LineageRow] = {
       import spark.implicits._
       spark.read.parquet(s"$root/lineage/*").as[LineageRow]
@@ -149,8 +147,7 @@ object IndexBuilder {
       val segs = segmentDirs
       if (segs.isEmpty) (base, math.max(1.0, base.avgdl / base.buildAvgdl))
       else {
-        val segStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
-          .as[IndexStats].collect()
+        val segStats = readStatsCompat(spark, segs.map(_ + "/stats"))
         val n = base.n + segStats.map(_.n).sum
         val tok = base.totalTokens + segStats.map(_.totalTokens).sum
         val avgdl = tok.toDouble / n.toDouble
@@ -168,6 +165,20 @@ object IndexBuilder {
         .filter(col("term").isin(terms: _*))
         .collect().groupBy(_.term).map { case (t, rows) => t -> rows.map(_.df).sum }
     }
+  }
+
+  /** Stats reader tolerant of pre-v3 files (no `buildAvgdl` column): those
+    * builds computed block maxima at the exact avgdl, so buildAvgdl = avgdl
+    * reconstructs the identical semantics instead of failing the read.
+    */
+  private def readStatsCompat(spark: SparkSession, paths: Seq[String]): Array[IndexStats] = {
+    import spark.implicits._
+    val df = spark.read.parquet(paths: _*)
+    val withB =
+      if (df.columns.contains("buildAvgdl")) df
+      else df.withColumn("buildAvgdl", col("avgdl"))
+    withB.select(col("n"), col("avgdl"), col("totalTokens"), col("buildAvgdl"))
+      .as[IndexStats].collect()
   }
 
   /** Open an existing index, reading back the analyzer mode persisted by

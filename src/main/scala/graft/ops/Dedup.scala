@@ -184,7 +184,10 @@ object Dedup {
     // candidate shingles are consumed twice below (sizes + self-join) —
     // registered in the session cache rather than bare-.cache()d, so
     // repeated invocations reuse one entry instead of leaking one per call
-    val shCand = planCache(spark).getOrElseUpdate(s"mhshingles|$sfDir|$threshold",
+    // keyed by dir only: the candidate set comes from the LSH band join —
+    // `threshold` filters AFTER the exact verify, so the cached shingles
+    // are threshold-independent
+    val shCand = planCache(spark).getOrElseUpdate(s"mhshingles|$sfDir",
       candDocs(docs(spark, sfDir).select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .flatMap { case (docId, text) =>

@@ -70,12 +70,20 @@ object Searcher {
     val m = dfCache(spark)
     val prefix = s"${h.dir}|$fp|"
     evictStale(m, h.dir, prefix)(_ => ())
-    val missing = terms.filterNot(t => m.contains(prefix + t))
-    if (missing.nonEmpty) {
-      val fetched = h.dfFor(spark, missing)
-      missing.foreach(t => m.put(prefix + t, Long.box(fetched.getOrElse(t, 0L))))
-    }
-    terms.iterator.map(t => t -> m(prefix + t).longValue()).toMap
+    // SNAPSHOT the hits first: a concurrent query's evictStale (fingerprint
+    // advanced mid-flight) may remove entries between our check and read —
+    // the result must come from local values only, never a second map read
+    val have: Map[String, Long] =
+      terms.flatMap(t => m.get(prefix + t).map(v => t -> v.longValue())).toMap
+    val missing = terms.filterNot(have.contains)
+    val fetched: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val f = h.dfFor(spark, missing)
+        missing.map(t => t -> f.getOrElse(t, 0L)).toMap
+      }
+    fetched.foreach { case (t, v) => m.put(prefix + t, Long.box(v)) }
+    have ++ fetched
   }
 
   /** Optimistic coordinator fetch: collected blocks for `terms`, served
@@ -94,7 +102,13 @@ object Searcher {
     val m = blockCache(spark)
     val prefix = s"${h.dir}|$fp|"
     evictStale(m, h.dir, prefix)(_ => ())
-    val missing = terms.filterNot(t => m.contains(prefix + t))
+    // SNAPSHOT cache hits before any fetch/eviction: the query's result is
+    // assembled from these local arrays only, so a concurrent (or our own
+    // overflow) eviction can cost a future refetch but never drop a term's
+    // postings from THIS query
+    val have: Map[String, Array[PostingBlock]] =
+      terms.flatMap(t => m.get(prefix + t).map(t -> _)).toMap
+    val missing = terms.filterNot(have.contains)
     val fetchedArr: Array[PostingBlock] =
       if (missing.isEmpty) Array.empty
       else h.postingsAll(spark).filter(col("term").isin(missing: _*))
@@ -107,7 +121,9 @@ object Searcher {
         val arr = fetched.getOrElse(t, Array.empty[PostingBlock])
         val incoming = arr.iterator.map(_.n.toLong).sum
         if (cached + incoming > MaxCachedPostings) {
-          m.keys.filter(_.startsWith(s"${h.dir}|")).foreach(m.remove)
+          // enforce the bound GLOBALLY (entries of other index dirs too —
+          // the tally above is global, so the clear must be as well)
+          m.keys.foreach(m.remove)
           cached = 0L
         }
         if (incoming <= MaxCachedPostings) {
@@ -118,7 +134,7 @@ object Searcher {
     }
     Some(terms.flatMap { t =>
       val arr: Array[PostingBlock] =
-        m.get(prefix + t).orElse(fetched.get(t)).getOrElse(Array.empty)
+        have.get(t).orElse(fetched.get(t)).getOrElse(Array.empty)
       arr
     })
   }

@@ -113,6 +113,13 @@ object StreamingIngest {
     val segDir = s"$indexDir/ingest_segments/batch=$batchId"
     // replayed batch (foreachBatch is at-least-once): already committed → skip
     if (Fs.exists(s"$segDir/_DONE")) return
+    // a name hidden by a past compaction/merge must not be reused — the new
+    // segment would be INVISIBLE forever (happens when a checkpoint is
+    // deleted and batchIds restart at 0 against an already-compacted index)
+    require(!Catalog.of(indexDir).hidden(Fs.name(segDir)),
+      s"segment name batch=$batchId was folded by a previous compaction — " +
+        "restarting batch ids against a compacted index requires a fresh " +
+        "checkpoint offset (or keep the original checkpoint dir)")
     // Micro-batch parallelism is sized to the BATCH, not the session: a
     // 1-second trigger sees at most ~(1<<20) docs and usually a few hundred
     // — 32-way shuffles there are pure fixed overhead (32 tasks + up to 32

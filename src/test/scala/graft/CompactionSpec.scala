@@ -145,6 +145,24 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     // the full fold still works over a merged segment
     val hc = Compactor.compact(spark, idx, cfg)
     assert(hc.segmentDirs.isEmpty && hc.liveStats(spark)._2 == 1.0)
+
+    // name-recycling guard: merged=1/2 were folded (their names live in
+    // folded_segments forever) — a post-compaction merge must mint a FRESH
+    // name, or the new segment would be permanently invisible
+    StreamingIngest.appendSegment(spark, all.slice(45, 50).toDS()
+      .map(d => d.copy(commit = d.commit + "y")), 20L, idx, avgdl, 4, 1L << 40)
+    StreamingIngest.appendSegment(spark, all.slice(50, 55).toDS()
+      .map(d => d.copy(commit = d.commit + "z")), 21L, idx, avgdl, 4, 1L << 40)
+    val hm3 = Compactor.mergeSegments(spark, idx)
+    assert(hm3.segmentDirs.size == 1 && hm3.segmentDirs.head.contains("merged=3"),
+      s"post-compaction merge must not recycle a folded name: ${hm3.segmentDirs}")
+    // ...and a replayed batch id that a compaction folded fails LOUDLY
+    // instead of writing an invisible segment
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.appendSegment(spark, all.slice(40, 45).toDS(),
+        0L, idx, avgdl, 4, 1L << 40)
+    }
+    assert(ex.getMessage.contains("folded"))
   }
 
   test("ingest stream with mergeAtSegments keeps the live segment count bounded") {
@@ -166,6 +184,28 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     val ids = spark.read.parquet(h.segmentDirs.map(_ + "/docmeta"): _*)
       .select(col("docId")).collect().map(_.getLong(0))
     assert(ids.length == 60 && ids.distinct.length == 60)
+  }
+
+  test("delete+rebuild of the same dir invalidates query caches (fingerprint stamp)") {
+    import spark.implicits._
+    val idx = tmpDir("graft-rebuild-idx")
+    val cfg = IndexBuilder.Config(salts = 2)
+    val a = (0 until 30).map(i => Corpus.synthDoc(i, 43L))
+    IndexBuilder.build(spark, a.toDS(), idx, cfg)
+    val h = IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    val before = Searcher.topK(spark, h, "the import", Int.MaxValue).collect().toSeq
+    assert(before.nonEmpty)
+    // rebuild the SAME dir over a disjoint half-corpus (create-index --force
+    // + export pattern); cached blocks/df/stats must not survive
+    Cli.run(spark, Seq("create-index", idx, "--force"))
+    Thread.sleep(5) // marker mtime resolution
+    IndexBuilder.build(spark, a.take(10).toDS(), idx, cfg)
+    graft.index.Catalog.invalidate(idx)
+    val after = Searcher.topK(spark, h, "the import", Int.MaxValue).collect().toSeq
+    assert(after != before && after.nonEmpty,
+      "query over the rebuilt index served the old corpus's cached postings")
+    val fresh = IndexBuilder.build(spark, a.take(10).toDS(), tmpDir("graft-rebuild-b"), cfg)
+    assert(after == Searcher.topK(spark, fresh, "the import", Int.MaxValue).collect().toSeq)
   }
 
   test("phrase query on an index without the positional tier fails loudly") {

@@ -33,8 +33,15 @@ object Probe {
       case "scaleconf" =>
         // A/B shuffle-conf variants for the secondary scaling pair: same
         // 300k-doc build at local[8] vs local[32] per variant, one warm lap
-        // + best-of-2 measured. Run exclusively (host noise!).
+        // + best-of-2 measured. Run exclusively (host noise!) and ALONE:
+        // this mode stops the shared outer session — getOrCreate would
+        // otherwise return it and silently ignore the per-variant
+        // master/conf (the first published run of this probe did exactly
+        // that; its numbers were bogus).
         if (r == 1) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
           def build(cores: Int, extra: Map[String, String]): Double = {
             val b = SparkSession.builder()
               .master(s"local[$cores]").appName(s"scaleconf-$cores")
