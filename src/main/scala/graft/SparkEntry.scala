@@ -265,6 +265,9 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // value-level oracle for the simhash ALGORITHM (md5 basis — the pair
+    // queries above keep the faster seeded mixer and stay rows-only)
+    "dedup_simhash_fp" -> ((s, d) => Dedup.simhashMd5Fingerprint(s, d)),
     "dedup_simhash_wide" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
@@ -522,6 +525,22 @@ object SparkEntry {
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    // md5-based simhash, bit votes and all, transliterated: low-64 of
+    // md5(term) as UBIGINT, tf-weighted ±votes per bit, sign → bit string
+    "dedup_simhash_fp" ->
+      s"""WITH $toksCte,
+         |tft AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t2 GROUP BY 1, 2),
+         |hb AS (SELECT doc_id, term, tf,
+         |              ('0x' || substr(md5(term),17,16))::UBIGINT AS h FROM tft),
+         |v AS (
+         |  SELECT doc_id, g.gs AS bit,
+         |         sum(CASE WHEN (h >> g.gs) & 1 = 1 THEN tf ELSE -tf END) AS votes
+         |  FROM hb CROSS JOIN generate_series(0, 63) g(gs)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       string_agg(CASE WHEN votes > 0 THEN '1' ELSE '0' END, ''
+         |                  ORDER BY bit DESC) AS simhash
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // dedup_minhash_lsh ORACLE CONTRACT: the engine output is exact-verified
     // LSH candidates — a SUBSET of the exact pair set by construction, equal
     // to it only while LSH recall = 1, which OpsSpec asserts on exactly this

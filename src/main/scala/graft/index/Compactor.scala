@@ -50,17 +50,35 @@ object Compactor {
   // cycle of grace, which is the practical analog of Lucene's
   // reader-refcounted deletes without distributed reference counting.
 
+  /** Minimum age before a deferred dir is physically deleted — must exceed
+    * the Catalog TTL plus a generous query runtime, so even a reader
+    * holding TTL-stale state never loses files mid-scan (back-to-back
+    * auto-merges would otherwise sweep a dir deferred moments earlier).
+    */
+  def gcGraceMs: Long = sys.props.getOrElse("graft.gc.grace.ms", "10000").toLong
+
   private def gcDefer(dir: String, relPaths: Seq[String]): Unit = {
     val prior = Fs.readString(s"$dir/_gc").toSeq
       .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))
-    Fs.writeString(s"$dir/_gc", (prior ++ relPaths).distinct.mkString("\n"))
+    val now = System.currentTimeMillis()
+    val entries = prior ++ relPaths.map(p => s"$p|$now")
+    Fs.writeString(s"$dir/_gc", entries.distinct.mkString("\n"))
   }
 
   private def gcSweep(dir: String): Unit =
     Fs.readString(s"$dir/_gc").foreach { c =>
-      c.split('\n').map(_.trim).filter(_.nonEmpty)
-        .foreach(rel => Fs.delete(s"$dir/$rel"))
-      Fs.delete(s"$dir/_gc")
+      val now = System.currentTimeMillis()
+      val (ripe, young) = c.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+        .partition { e =>
+          val at = e.split('|') match {
+            case Array(_, ts) => ts.toLongOption.getOrElse(0L)
+            case _ => 0L
+          }
+          now - at >= gcGraceMs
+        }
+      ripe.foreach(e => Fs.delete(s"$dir/${e.split('|').head}"))
+      if (young.isEmpty) Fs.delete(s"$dir/_gc")
+      else Fs.writeString(s"$dir/_gc", young.mkString("\n"))
     }
 
   private def segRel(segPath: String): String =

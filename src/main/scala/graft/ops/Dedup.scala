@@ -233,6 +233,44 @@ object Dedup {
     out
   }
 
+  /** Oracle-checkable SimHash fingerprint: the exact tf-weighted bit-vote
+    * machinery of simhash64, on an md5 basis DuckDB reproduces verbatim
+    * (`('0x'||substr(md5(term),17,16))::UBIGINT`, i.e. the digest's low 8
+    * bytes big-endian). Returns the 64-bit fingerprint as a '1'/'0' string,
+    * bit 63 first — both engines aggregate it identically, so the value
+    * (not just the row count) is under the DuckDB gate. The pair-mining
+    * queries keep the faster seeded mixer; this entry pins the ALGORITHM.
+    */
+  def simhashMd5Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir).select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val votes = new Array[Long](64)
+        val tf = scala.collection.mutable.HashMap.empty[String, Long]
+        t.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
+          .foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1L))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        tf.foreach { case (term, f) =>
+          md.reset()
+          val d = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 8
+          while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += f else votes(b) -= f
+            b += 1
+          }
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var b = 63
+        while (b >= 0) { sb.append(if (votes(b) > 0) '1' else '0'); b -= 1 }
+        (id, sb.toString)
+      }.toDF("doc_id", "simhash")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs: hamming(simhash) ≤ maxDist, blocked on 4
     * 16-bit bands (any pair within distance 3 shares ≥1 exact band —
     * pigeonhole), so the join is an equi-join, not a cross.

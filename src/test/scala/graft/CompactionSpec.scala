@@ -157,7 +157,12 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(hm3.segmentDirs.size == 1 && hm3.segmentDirs.head.contains("merged=3"),
       s"post-compaction merge must not recycle a folded name: ${hm3.segmentDirs}")
     // ...and a replayed batch id that a compaction folded fails LOUDLY
-    // instead of writing an invisible segment
+    // instead of writing an invisible segment. While the folded dir still
+    // exists (GC grace) the _DONE skip correctly treats the replay as
+    // committed; once GC has removed it, only the hidden-name guard stands
+    // between the replay and silent data loss — simulate the post-GC state.
+    graft.index.Fs.delete(s"$idx/ingest_segments/batch=0")
+    graft.index.Catalog.invalidate(idx)
     val ex = intercept[IllegalArgumentException] {
       StreamingIngest.appendSegment(spark, all.slice(40, 45).toDS(),
         0L, idx, avgdl, 4, 1L << 40)
@@ -185,6 +190,45 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
       .select(col("docId")).collect().map(_.getLong(0))
     assert(ids.length == 60 && ids.distinct.length == 60)
   }
+
+  test("queries stay correct while ingest and auto-merge run concurrently") {
+    import spark.implicits._
+    val src = tmpDir("graft-conc-src")
+    val idx = tmpDir("graft-conc-idx")
+    val ckp = tmpDir("graft-conc-ckp")
+    val idxAll = tmpDir("graft-conc-all")
+    val all = (0 until 100).map(i => Corpus.synthDoc(i, 47L))
+    val h = IndexBuilder.build(spark, all.take(40).toDS(), idx,
+      IndexBuilder.Config(salts = 4))
+    for (g <- all.drop(40).grouped(10))
+      g.toDS().coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingIngest.startIndexAppend(spark, src, idx, ckp,
+      avgdl = h.stats(spark).avgdl, mergeAtSegments = 2)
+    // hammer queries from this thread while micro-batches append and merges
+    // flip segment visibility — every call must succeed (snapshot caches,
+    // GC grace) and return a valid prefix of the growing corpus
+    var queries = 0
+    val deadline = System.currentTimeMillis() + 60000
+    try {
+      while (q.isActive && !q.recentProgress.exists(_.numInputRows == 0) &&
+             System.currentTimeMillis() < deadline) {
+        val hits = Searcher.topK(spark, IndexBuilder.openHandle(idx),
+          "the import", 10).collect()
+        assert(hits.nonEmpty)
+        queries += 1
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(queries > 3, s"expected several concurrent queries, ran $queries")
+    // final state equals a fresh build over the full corpus
+    val hAll = IndexBuilder.build(spark, all.toDS(), idxAll,
+      IndexBuilder.Config(salts = 4))
+    for (query <- queries0)
+      assert(byCommit(IndexBuilder.openHandle(idx), query) == byCommit(hAll, query),
+        s"post-ingest results differ for '$query'")
+  }
+
+  private val queries0 = Seq("the", "import def", "zzz_rare_token")
 
   test("delete+rebuild of the same dir invalidates query caches (fingerprint stamp)") {
     import spark.implicits._
