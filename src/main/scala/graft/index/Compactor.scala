@@ -21,8 +21,9 @@ import graft.index.IndexBuilder.{Config, Handle}
   *  - docIds re-densified to [0, n): the dense rank over
   *    (repo, path, commit) of the union — exactly what a fresh build over
   *    the union assigns, so salts return to the main docId-range scheme;
-  *  - maxImpact recomputed at the union avgdl ⇒ liveStats' WAND bound
-  *    factor returns to exactly 1.0 (full pruning again).
+  *  - maxImpact recomputed at the union's (sampled) buildAvgdl ⇒ the WAND
+  *    bound factor returns to exactly what a fresh build over the union
+  *    would have (≈1; the segment-accumulation degradation is gone).
   *
   * Commit protocol (LevelDB CURRENT / Lucene segments_N analog): all new
   * tables + lineage are written under `dir/epoch-N/`, the epoch records
@@ -126,8 +127,7 @@ object Compactor {
       .groupBy($"term")
       .agg(sum($"df").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats")
-    val srcStats = spark.read.parquet(segs.map(_ + "/stats"): _*)
-      .as[IndexStats].collect()
+    val srcStats = IndexBuilder.readStatsCompat(spark, segs.map(_ + "/stats"))
     val mergedN = srcStats.map(_.n).sum
     val mergedTok = srcStats.map(_.totalTokens).sum
     // buildAvgdl = min over sources: liveStats' min-aggregation sees the

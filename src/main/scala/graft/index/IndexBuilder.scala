@@ -170,15 +170,23 @@ object IndexBuilder {
   /** Stats reader tolerant of pre-v3 files (no `buildAvgdl` column): those
     * builds computed block maxima at the exact avgdl, so buildAvgdl = avgdl
     * reconstructs the identical semantics instead of failing the read.
+    * Paths are read ONE BY ONE: a multi-path read of mixed v2/v3 files
+    * would resolve a single schema — either crashing on the null decode or
+    * silently overwriting a v3 file's real (smaller) buildAvgdl, which
+    * would under-scale the WAND bound. Stats files are single tiny rows
+    * and liveStats memoizes per fingerprint, so per-path reads cost
+    * nothing that matters.
     */
-  private def readStatsCompat(spark: SparkSession, paths: Seq[String]): Array[IndexStats] = {
+  private[index] def readStatsCompat(spark: SparkSession, paths: Seq[String]): Array[IndexStats] = {
     import spark.implicits._
-    val df = spark.read.parquet(paths: _*)
-    val withB =
-      if (df.columns.contains("buildAvgdl")) df
-      else df.withColumn("buildAvgdl", col("avgdl"))
-    withB.select(col("n"), col("avgdl"), col("totalTokens"), col("buildAvgdl"))
-      .as[IndexStats].collect()
+    paths.toArray.flatMap { p =>
+      val df = spark.read.parquet(p)
+      val withB =
+        if (df.columns.contains("buildAvgdl")) df
+        else df.withColumn("buildAvgdl", col("avgdl"))
+      withB.select(col("n"), col("avgdl"), col("totalTokens"), col("buildAvgdl"))
+        .as[IndexStats].collect()
+    }
   }
 
   /** Open an existing index, reading back the analyzer mode persisted by
@@ -292,10 +300,13 @@ object IndexBuilder {
       val r = docIdDl
         .filter(pmod(xxhash64(col("docId")), lit(rates(i))) === 0)
         .agg(sum(col("dl")).cast("long").as("s"), count(lit(1)).as("c")).head()
-      if (r.getLong(1) > 0) res = r.getLong(0).toDouble / r.getLong(1)
+      // a zero-Σdl sample (all-empty docs) must keep widening: buildAvgdl=0
+      // would turn every block max into 0/NaN and break WAND
+      if (r.getLong(1) > 0 && r.getLong(0) > 0)
+        res = r.getLong(0).toDouble / r.getLong(1)
       i += 1
     }
-    if (res < 0) 1.0 else res
+    if (res <= 0) 1.0 else res
   }
 
   /** Run independent Spark jobs from parallel driver threads; rethrows the

@@ -245,11 +245,13 @@ object Dedup {
     import spark.implicits._
     docs(spark, sfDir).select(col("doc_id"), lower(col("text")).as("t"))
       .as[(Long, String)]
-      .map { case (id, t) =>
+      .flatMap { case (id, t) =>
         val votes = new Array[Long](64)
         val tf = scala.collection.mutable.HashMap.empty[String, Long]
         t.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
           .foreach(w => tf.update(w, tf.getOrElse(w, 0L) + 1L))
+        if (tf.isEmpty) Iterator.empty // token-less doc: the oracle's token
+        else {                          // stream has no row for it either
         val md = java.security.MessageDigest.getInstance("MD5")
         tf.foreach { case (term, f) =>
           md.reset()
@@ -266,7 +268,8 @@ object Dedup {
         val sb = new java.lang.StringBuilder(64)
         var b = 63
         while (b >= 0) { sb.append(if (votes(b) > 0) '1' else '0'); b -= 1 }
-        (id, sb.toString)
+        Iterator.single((id, sb.toString))
+        }
       }.toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
   }

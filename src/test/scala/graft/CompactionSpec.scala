@@ -9,9 +9,9 @@ import graft.streaming.StreamingIngest
 
 /** Segment compaction (Compactor.scala): folding streamed segments into a
   * new epoch must be invisible to queries (bit-identical results), restore
-  * the WAND bound factor to exactly 1.0, shrink the live segment set to
-  * zero, and produce tables equal to a fresh build over the union corpus —
-  * the strongest possible "merge happened correctly" check.
+  * the WAND bound factor to the fresh-build value (≈1), shrink the live
+  * segment set to zero, and produce tables equal to a fresh build over the
+  * union corpus — the strongest possible "merge happened correctly" check.
   */
 class CompactionSpec extends AnyFunSuite with SparkSuite {
 
@@ -41,14 +41,16 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(hc.segmentDirs.isEmpty, "all segments must be folded")
     assert(hc.root != idx, "compaction must flip to an epoch root")
     val (stAfter, factorAfter) = hc.liveStats(spark)
-    assert(factorAfter == 1.0, "WAND bound factor must return to exactly 1.0")
     for (q <- queries)
       assert(byCommit(hc, q) == before(q), s"results changed across compaction for '$q'")
 
     // the folded epoch equals a FRESH build over the union corpus —
-    // bit-identical docmeta (incl. re-ranked dense docIds), stats, postings
+    // bit-identical docmeta (incl. re-ranked dense docIds), stats, postings,
+    // and therefore the identical (near-1, sampled-buildAvgdl) bound factor
     val hAll = IndexBuilder.build(spark, all.toDS(), idxAll, cfg)
     assert(stAfter == hAll.stats(spark))
+    assert(factorAfter == hAll.liveStats(spark)._2 && factorAfter < 1.1,
+      s"bound factor must return to the fresh-build value, got $factorAfter")
     assert(hc.docmeta(spark).collect().sortBy(_.docId).toSeq ==
       hAll.docmeta(spark).collect().sortBy(_.docId).toSeq)
     def blockKey(b: graft.index.PostingBlock) =
@@ -86,8 +88,8 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(h1.segmentDirs.size == 1)
     val h2 = Compactor.compact(spark, idx, cfg)
     assert(h2.root.endsWith("epoch-000002") && h2.segmentDirs.isEmpty)
-    assert(h2.liveStats(spark)._2 == 1.0)
     val hAll = IndexBuilder.build(spark, all.toDS(), idxAll, cfg)
+    assert(h2.liveStats(spark)._2 == hAll.liveStats(spark)._2)
     for (q <- queries)
       assert(Searcher.topK(spark, h2, q, Int.MaxValue).collect().toSeq ==
         Searcher.topK(spark, hAll, q, Int.MaxValue).collect().toSeq)
@@ -144,7 +146,7 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
 
     // the full fold still works over a merged segment
     val hc = Compactor.compact(spark, idx, cfg)
-    assert(hc.segmentDirs.isEmpty && hc.liveStats(spark)._2 == 1.0)
+    assert(hc.segmentDirs.isEmpty && hc.liveStats(spark)._2 < 1.1)
 
     // name-recycling guard: merged=1/2 were folded (their names live in
     // folded_segments forever) — a post-compaction merge must mint a FRESH
