@@ -264,6 +264,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    // connected-component keeper assignment over the verified pair set
+    // (same recall=1 oracle contract as dedup_minhash_lsh above)
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // value-level oracle for the simhash ALGORITHM (md5 basis — the pair
     // queries above keep the faster seeded mixer and stay rows-only)
@@ -550,6 +553,19 @@ object SparkEntry {
     // (never extra ones), suspect the approximation contract before the
     // engine: re-run OpsSpec's recall check first.
     "dedup_minhash_lsh" -> jaccardSql,
+    // transitive closure over the exact pair set (recursive CTE): keeper =
+    // min doc reachable — must equal the engine's union-find / label
+    // propagation over its (recall=1, see above) verified pairs
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT a AS s, b AS t FROM jp UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT s AS id, t AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.t FROM reach JOIN edges ON reach.r = edges.s
+         |)
+         |SELECT id AS doc_id, least(id, min(r)) AS keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // exhaustive-probe IVF ≡ brute-force cosine top-k (same arithmetic,
     // same quantization/ordering) — the oracle checks the full IVF pipeline
     "ann_ivf_topk" ->

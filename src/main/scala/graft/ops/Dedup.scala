@@ -214,6 +214,74 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Dedup CLUSTER assignment: connected components over the exact-verified
+    * near-dup pair set, keeper = min docId in the component — the step an
+    * actual dedup pipeline runs before dropping rows (pairs alone don't
+    * choose a canonical survivor when duplicates chain transitively:
+    * j(a,b) ≥ t and j(b,c) ≥ t do not imply j(a,c) ≥ t).
+    *
+    * Execution is adaptive like the other coordinator steps: the pair set
+    * is the RARE output of LSH + exact verify, so it is normally
+    * driver-small → union-find on the coordinator (union-by-min keeps the
+    * root the component minimum). A larger pair set runs distributed
+    * min-label propagation — each round one equi-join + groupBy-min, labels
+    * monotonically non-increasing, fixpoint when the label sum stops
+    * changing — the plain-DataFrame form of the standard Spark CC
+    * algorithm (alternating-star variants halve the round count at extreme
+    * scale; rounds ≤ component diameter, tiny for dup clusters).
+    * `localCheckpoint` truncates the iterative lineage (a reliable
+    * checkpoint dir at production scale). Output: one row per doc
+    * appearing in ≥1 pair.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.6,
+                    maxDriverPairs: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLshPairs(spark, sfDir, threshold)
+      .select(col("a"), col("b")).as[(Long, Long)]
+    val probed = pairs.limit(maxDriverPairs + 1).collect()
+    if (probed.length <= maxDriverPairs) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probed.foreach { case (a, b) =>
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = probed.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      spark.createDataset(nodes.toSeq.sorted.map(id => (id, find(id))))
+        .toDF("doc_id", "keeper")
+        .orderBy(col("doc_id"))
+    } else {
+      val und = pairs.toDF("s", "t")
+      val edges = und.union(und.select(col("t").as("s"), col("s").as("t")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("s").as("id")).distinct()
+        .withColumn("keeper", col("id")).localCheckpoint(true)
+      var prevSum = labels.agg(sum(col("keeper"))).head().getLong(0)
+      var it = 0
+      var done = false
+      while (!done && it < 64) {
+        val viaNbr = edges.join(labels, edges("t") === labels("id"))
+          .select(edges("s").as("id"), labels("keeper").as("keeper"))
+        val next = labels.union(viaNbr)
+          .groupBy(col("id")).agg(min(col("keeper")).as("keeper"))
+          .localCheckpoint(true)
+        val s = next.agg(sum(col("keeper"))).head().getLong(0)
+        done = s == prevSum
+        prevSum = s
+        labels = next
+        it += 1
+      }
+      labels.select(col("id").as("doc_id"), col("keeper")).orderBy(col("doc_id"))
+    }
+  }
+
   // ---- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over tokens (tf-weighted bit votes). */

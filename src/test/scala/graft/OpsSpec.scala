@@ -20,6 +20,24 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(exact.nonEmpty, "test corpus should contain planted near-dups")
   }
 
+  test("dedup clusters: driver union-find ≡ distributed label propagation; keeper = component min") {
+    def rows(maxDriverPairs: Int) =
+      graft.ops.Dedup.dedupClusters(spark, sfDir, maxDriverPairs = maxDriverPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDriver = rows(100000)
+    val viaDistributed = rows(0) // force the label-propagation path
+    assert(viaDriver == viaDistributed && viaDriver.nonEmpty)
+    val keeperOf = viaDriver.toMap
+    viaDriver.foreach { case (id, k) =>
+      assert(k <= id, s"keeper $k > member $id")
+      assert(keeperOf(k) == k, s"keeper $k is not its own keeper")
+    }
+    // every verified pair lands in one cluster
+    graft.ops.Dedup.minhashLshPairs(spark, sfDir).collect().foreach { r =>
+      assert(keeperOf(r.getLong(0)) == keeperOf(r.getLong(1)))
+    }
+  }
+
   test("simhash pairs equal exhaustive hamming-distance pairs (band recall is exact ≤3 by pigeonhole)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
