@@ -27,15 +27,19 @@ import graft.streaming.StreamingIngest
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // under spark-submit the master + parallelism come from the cluster
+    // deploy config; the local[] fallback is for bare `sbt runMain` use
+    val base = SparkSession.builder()
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.props.contains("spark.master")) base
+      else {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        base.master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+      }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toSeq)
     finally spark.stop()
