@@ -28,18 +28,23 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     // under spark-submit the master + parallelism come from the cluster
-    // deploy config; the local[] fallback is for bare `sbt runMain` use
-    val base = SparkSession.builder()
-      .appName("graft")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-    val spark = (if (sys.props.contains("spark.master")) base
-      else {
-        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-        base.master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.ui.enabled", "false")
-      }).getOrCreate()
+    // deploy config; the local[] fallback is for bare `sbt runMain` use.
+    // Defaults are applied only when the deploy config did NOT set them —
+    // builder options land on top of spark-submit's properties, so an
+    // unconditional .config() would silently override --conf/--name.
+    var b = SparkSession.builder()
+    def default(key: String, value: String): Unit =
+      if (!sys.props.contains(key)) b = b.config(key, value)
+    default("spark.app.name", "graft")
+    default("spark.sql.session.timeZone", "UTC")
+    default("spark.sql.adaptive.enabled", "true")
+    if (!sys.props.contains("spark.master")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      b = b.master(s"local[$cpus]")
+      default("spark.sql.shuffle.partitions", cpus)
+      default("spark.ui.enabled", "false")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toSeq)
     finally spark.stop()

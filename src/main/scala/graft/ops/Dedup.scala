@@ -236,10 +236,14 @@ object Dedup {
   def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.6,
                     maxDriverPairs: Int = 100000): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLshPairs(spark, sfDir, threshold)
-      .select(col("a"), col("b")).as[(Long, Long)]
-    val probed = pairs.limit(maxDriverPairs + 1).collect()
+    // materialize the pair pipeline ONCE (band join + exact verify are the
+    // dominant cost); both the size probe and the edge set read the
+    // checkpoint — probing the lazy plan would execute it twice
+    val pairsCp = minhashLshPairs(spark, sfDir, threshold)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val probed = pairsCp.limit(maxDriverPairs + 1).as[(Long, Long)].collect()
     if (probed.length <= maxDriverPairs) {
+      pairsCp.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -258,9 +262,10 @@ object Dedup {
         .toDF("doc_id", "keeper")
         .orderBy(col("doc_id"))
     } else {
-      val und = pairs.toDF("s", "t")
+      val und = pairsCp.toDF("s", "t")
       val edges = und.union(und.select(col("t").as("s"), col("s").as("t")))
         .localCheckpoint(true)
+      pairsCp.unpersist(blocking = false)
       var labels = edges.select(col("s").as("id")).distinct()
         .withColumn("keeper", col("id")).localCheckpoint(true)
       var prevSum = labels.agg(sum(col("keeper"))).head().getLong(0)
@@ -275,9 +280,15 @@ object Dedup {
         val s = next.agg(sum(col("keeper"))).head().getLong(0)
         done = s == prevSum
         prevSum = s
+        labels.unpersist(blocking = false) // bound storage to 2 label copies
         labels = next
         it += 1
       }
+      edges.unpersist(blocking = false)
+      // an exact op must fail loudly, never return half-propagated labels
+      // (a >64-diameter component = a 64+-hop revision chain; raise the cap)
+      require(done, s"label propagation did not converge in $it rounds — " +
+        "component diameter exceeds the iteration cap")
       labels.select(col("id").as("doc_id"), col("keeper")).orderBy(col("doc_id"))
     }
   }
