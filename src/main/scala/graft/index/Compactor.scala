@@ -119,23 +119,28 @@ object Compactor {
     val out = s"$dir/ingest_segments/merged=$k"
     Fs.delete(out) // stale crashed attempt
     // small unions of small files — coalesce keeps the merged segment at a
-    // few files per table (the whole point: fewer paths per query)
-    for (t <- Seq("docmeta", "blocks", "positions"))
-      spark.read.parquet(segs.map(_ + s"/$t"): _*)
-        .coalesce(4).write.mode("overwrite").parquet(s"$out/$t")
-    spark.read.parquet(segs.map(_ + "/termstats"): _*)
-      .groupBy($"term")
-      .agg(sum($"df").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats")
-    val srcStats = IndexBuilder.readStatsCompat(spark, segs.map(_ + "/stats"))
-    val mergedN = srcStats.map(_.n).sum
-    val mergedTok = srcStats.map(_.totalTokens).sum
-    // buildAvgdl = min over sources: liveStats' min-aggregation sees the
-    // same minimum before and after the merge, so the WAND bound factor is
-    // unchanged exactly
-    Seq(IndexStats(mergedN, mergedTok.toDouble / mergedN.toDouble, mergedTok,
-        srcStats.map(_.buildAvgdl).min)).toDS()
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/stats")
+    // few files per table (the whole point: fewer paths per query); the
+    // five tables are independent, so the copies run concurrently (this op
+    // rides the 1 s ingest cadence — wall time matters)
+    val copies: Seq[() => Unit] = Seq("docmeta", "blocks", "positions").map(t =>
+      () => spark.read.parquet(segs.map(_ + s"/$t"): _*)
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/$t")) ++ Seq(
+      () => spark.read.parquet(segs.map(_ + "/termstats"): _*)
+        .groupBy($"term")
+        .agg(sum($"df").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats"),
+      () => {
+        val srcStats = IndexBuilder.readStatsCompat(spark, segs.map(_ + "/stats"))
+        val mergedN = srcStats.map(_.n).sum
+        val mergedTok = srcStats.map(_.totalTokens).sum
+        // buildAvgdl = min over sources: liveStats' min-aggregation sees the
+        // same minimum before and after the merge, so the WAND bound factor
+        // is unchanged exactly
+        Seq(IndexStats(mergedN, mergedTok.toDouble / mergedN.toDouble, mergedTok,
+            srcStats.map(_.buildAvgdl).min)).toDS()
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/stats")
+      })
+    IndexBuilder.runConcurrently(copies)
     // replaces BEFORE the marker: a reader either sees no merged segment
     // (sources still live) or a completed one (sources hidden) — never
     // both. Carried TRANSITIVELY: if a source is itself a merged segment
@@ -181,97 +186,112 @@ object Compactor {
       Seq("repo", "path", "commit"), "docId")
     try {
       val n = assigned.n
+      // the SAME deterministic sampled buildAvgdl a fresh build over the
+      // union would compute (the sample is a pure function of the re-ranked
+      // (docId, dl) pairs and the mean a long-sum/long-count) — this is what
+      // makes the folded epoch bit-identical to a fresh build, block maxima
+      // included. Derived from the id-assigned frame directly so the three
+      // table folds below have no ordering dependency and run CONCURRENTLY
+      // (same overlap pattern as the build and the ingest writes).
+      val est = IndexBuilder.estimateBuildAvgdl(
+        assigned.df.select($"docId", $"dl"))
+      val salts = IndexBuilder.effectiveSalts(cfg, n)
+      val remap = assigned.df.select($"oldDocId", $"docId")
       val dmAcc = IndexBuilder.newLineageAcc(spark, "docmeta")
-      assigned.df
-        .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha256")
-        .as[DocMeta]
-        .mapPartitions(IndexBuilder.tally(dmAcc, "docmeta")(
-          m => m.docId, m => m.docId, m => m.dl.toLong,
-          m => 48L + m.repo.length + m.path.length,
-          m => IndexBuilder.mix3(m.docId,
-            java.lang.Long.parseLong(m.sha256.substring(0, 15), 16),
-            m.commit.hashCode.toLong)))
-        .write.mode("overwrite").parquet(s"$newRoot/docmeta")
-      IndexBuilder.writeLineageRows(spark, newRoot, "docmeta", dmAcc.value)
+      val poAcc = IndexBuilder.newLineageAcc(spark, "postings")
 
-      // ---- stats: derived from the docmeta lineage tallies (no re-scan) --
+      val foldDocmeta = () => {
+        assigned.df
+          .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha256")
+          .as[DocMeta]
+          .mapPartitions(IndexBuilder.tally(dmAcc, "docmeta")(
+            m => m.docId, m => m.docId, m => m.dl.toLong,
+            m => 48L + m.repo.length + m.path.length,
+            m => IndexBuilder.mix3(m.docId,
+              java.lang.Long.parseLong(m.sha256.substring(0, 15), 16),
+              m.commit.hashCode.toLong)))
+          .write.mode("overwrite").parquet(s"$newRoot/docmeta")
+        IndexBuilder.writeLineageRows(spark, newRoot, "docmeta", dmAcc.value)
+      }
+
+      // postings fold: decode → remap docIds → re-salt → re-block. The
+      // remap (oldDocId → docId, two longs per doc) is the only join; AQE
+      // broadcasts it while it fits and falls back to a shuffle join on
+      // docId at scale. Shuffle volume = distinct (term, doc) pairs — the
+      // same as the build's postings stage, minus tokenization.
+      val foldPostings = () => {
+        val decoded = spark.read
+          .parquet((s"$oldRoot/postings" +: segs.map(_ + "/blocks")): _*)
+          .as[PostingBlock]
+          .flatMap { b =>
+            val ds = Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
+            val tfs = Codec.decodeInts(b.tfs, b.n)
+            val dls = Codec.decodeInts(b.dls, b.n)
+            Iterator.tabulate(b.n)(i => (b.term, ds(i), tfs(i), dls(i)))
+          }.toDF("term", "oldDocId", "tf", "dl")
+        decoded.join(remap, "oldDocId")
+          .select($"term",
+            least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
+              .cast("int").as("salt"),
+            $"docId", $"tf", $"dl")
+          .repartition(parts, $"term", $"salt")
+          .sortWithinPartitions($"term", $"salt", $"docId")
+          .as[TermDoc]
+          .mapPartitions(IndexBuilder.buildBlocks(_, est))
+          .mapPartitions(IndexBuilder.tally(poAcc, "postings")(
+            b => b.firstDocId, b => b.lastDocId, _ => 1L,
+            b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
+            b => IndexBuilder.mix3(b.term.hashCode.toLong,
+              b.salt.toLong * 31 + b.blockIdx,
+              java.util.Arrays.hashCode(b.docDeltas).toLong)))
+          .write.mode("overwrite").parquet(s"$newRoot/postings")
+        IndexBuilder.writeLineageRows(spark, newRoot, "postings", poAcc.value)
+      }
+
+      // positions fold (only if the batch stage was explicitly built):
+      // segments always carry positions; the fold preserves the positional
+      // tier iff the batch index has it (positionsAll requires the batch
+      // stage anyway, so phrase-search capability is unchanged either way).
+      val foldPositions = () =>
+        if (Fs.exists(s"$oldRoot/positions")) {
+          spark.read
+            .parquet((s"$oldRoot/positions" +: segs.map(_ + "/positions")): _*)
+            .withColumnRenamed("docId", "oldDocId")
+            .join(remap, "oldDocId")
+            .select($"term", $"docId", $"n", $"posDeltas")
+            .repartition(parts, $"term", pmod($"docId", lit(64)))
+            .sortWithinPartitions($"term", $"docId")
+            .write.mode("overwrite").parquet(s"$newRoot/positions")
+          Fs.touch(s"$newRoot/_STAGE_positions")
+        }
+
+      IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions))
+
+      // ---- stats (docmeta lineage tallies) + termstats (pruned read-back
+      // of the fresh postings) — independent of each other too ------------
       import scala.jdk.CollectionConverters._
       val tot = dmAcc.value.asScala.groupBy(_.partitionId)
         .map(_._2.head.termCount).sum
       val avgdl = tot.toDouble / n.toDouble
-      // the SAME deterministic sampled buildAvgdl a fresh build over the
-      // union would compute (the sample is a pure function of the re-ranked
-      // docIds and the mean a long-sum/long-count) — this is what makes the
-      // folded epoch bit-identical to a fresh build, block maxima included
-      val est = IndexBuilder.estimateBuildAvgdl(
-        spark.read.parquet(s"$newRoot/docmeta").select($"docId", $"dl"))
-      Seq(IndexStats(n, avgdl, tot, est)).toDS()
-        .write.mode("overwrite").parquet(s"$newRoot/stats")
-      IndexBuilder.writeLineageRows(spark, newRoot, "stats",
-        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
-
-      // ---- postings: decode → remap docIds → re-salt → re-block ----------
-      // The remap (oldDocId → docId, two longs per doc) is the only join;
-      // AQE broadcasts it while it fits and falls back to a shuffle join on
-      // docId at scale. Shuffle volume = distinct (term, doc) pairs — the
-      // same as the build's postings stage, minus tokenization.
-      val salts = IndexBuilder.effectiveSalts(cfg, n)
-      val remap = assigned.df.select($"oldDocId", $"docId")
-      val decoded = spark.read
-        .parquet((s"$oldRoot/postings" +: segs.map(_ + "/blocks")): _*)
-        .as[PostingBlock]
-        .flatMap { b =>
-          val ds = Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
-          val tfs = Codec.decodeInts(b.tfs, b.n)
-          val dls = Codec.decodeInts(b.dls, b.n)
-          Iterator.tabulate(b.n)(i => (b.term, ds(i), tfs(i), dls(i)))
-        }.toDF("term", "oldDocId", "tf", "dl")
-      val poAcc = IndexBuilder.newLineageAcc(spark, "postings")
-      decoded.join(remap, "oldDocId")
-        .select($"term",
-          least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
-            .cast("int").as("salt"),
-          $"docId", $"tf", $"dl")
-        .repartition(parts, $"term", $"salt")
-        .sortWithinPartitions($"term", $"salt", $"docId")
-        .as[TermDoc]
-        .mapPartitions(IndexBuilder.buildBlocks(_, est))
-        .mapPartitions(IndexBuilder.tally(poAcc, "postings")(
-          b => b.firstDocId, b => b.lastDocId, _ => 1L,
-          b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
-          b => IndexBuilder.mix3(b.term.hashCode.toLong,
-            b.salt.toLong * 31 + b.blockIdx,
-            java.util.Arrays.hashCode(b.docDeltas).toLong)))
-        .write.mode("overwrite").parquet(s"$newRoot/postings")
-      IndexBuilder.writeLineageRows(spark, newRoot, "postings", poAcc.value)
-
-      // ---- termstats (pruned read-back of the fresh postings) ------------
-      val tsAcc = IndexBuilder.newLineageAcc(spark, "termstats")
-      spark.read.parquet(s"$newRoot/postings")
-        .groupBy($"term")
-        .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
-        .as[TermStat]
-        .mapPartitions(IndexBuilder.tally(tsAcc, "termstats")(
-          _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
-          t => IndexBuilder.mix3(t.term.hashCode.toLong, t.df, 0L)))
-        .write.mode("overwrite").parquet(s"$newRoot/termstats")
-      IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
-
-      // ---- positions (only if the batch stage was explicitly built) ------
-      // Segments always carry positions; the fold preserves the positional
-      // tier iff the batch index has it (positionsAll requires the batch
-      // stage anyway, so phrase-search capability is unchanged either way).
-      if (Fs.exists(s"$oldRoot/positions")) {
-        spark.read
-          .parquet((s"$oldRoot/positions" +: segs.map(_ + "/positions")): _*)
-          .withColumnRenamed("docId", "oldDocId")
-          .join(remap, "oldDocId")
-          .select($"term", $"docId", $"n", $"posDeltas")
-          .repartition(parts, $"term", pmod($"docId", lit(64)))
-          .sortWithinPartitions($"term", $"docId")
-          .write.mode("overwrite").parquet(s"$newRoot/positions")
-        Fs.touch(s"$newRoot/_STAGE_positions")
+      val writeStats = () => {
+        Seq(IndexStats(n, avgdl, tot, est)).toDS()
+          .write.mode("overwrite").parquet(s"$newRoot/stats")
+        IndexBuilder.writeLineageRows(spark, newRoot, "stats",
+          java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
       }
+      val writeTermstats = () => {
+        val tsAcc = IndexBuilder.newLineageAcc(spark, "termstats")
+        spark.read.parquet(s"$newRoot/postings")
+          .groupBy($"term")
+          .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          .as[TermStat]
+          .mapPartitions(IndexBuilder.tally(tsAcc, "termstats")(
+            _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
+            t => IndexBuilder.mix3(t.term.hashCode.toLong, t.df, 0L)))
+          .write.mode("overwrite").parquet(s"$newRoot/termstats")
+        IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
+      }
+      IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats))
 
       // ---- commit: folded list + ONE atomic pointer flip ------------------
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")
