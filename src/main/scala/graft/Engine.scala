@@ -61,6 +61,21 @@ object Engine {
     })
   }
 
+  /** Index plus the OPTIONAL positional tier, provisioned EXPLICITLY here —
+    * the driver-fixture analog of `Cli export --positions`. buildPositions
+    * shuffles every token OCCURRENCE (costs more than all other stages
+    * combined), so provisioning lives in this fixture constructor with the
+    * other expensive fixtures (streamedIndexFor, compactedIndexFor), never
+    * inside a query-shaped path: a phrase query on an index without the
+    * tier fails loudly (Snapshot.positionsAll) instead of building it.
+    */
+  def positionalIndexFor(spark: SparkSession, sfDir: String): IndexBuilder.Handle =
+    sessionCache(spark).getOrElseUpdate(s"$sfDir|positional", {
+      val h = indexFor(spark, sfDir)
+      IndexBuilder.buildPositions(spark, Corpus.fromDocuments(spark, sfDir), h.dir, h.mode)
+      h
+    })
+
   /** The streamed fixture, then compacted (Compactor.compact): all segments
     * folded into a new epoch whose tables equal a fresh build over the full
     * corpus — so the same full-corpus oracle must hold, now over a
@@ -84,6 +99,46 @@ object Engine {
       graft.index.Compactor.compact(spark, dir)
     })
   }
+
+  /** Tombstone fixtures (Compactor.tombstone — the dedup-enforcement /
+    * delete path): a full-corpus index whose docs with doc_id % 7 == 3 are
+    * tombstoned.
+    *
+    *  - `compacted = false` (LIVE deletes): queries must exclude the
+    *    tombstoned docs while scores keep the stored full-corpus stats —
+    *    Lucene's deleted-docs-count-until-merge semantics, so the oracle is
+    *    full-corpus BM25 with the deleted doc_ids filtered OUTSIDE the
+    *    scoring pipeline.
+    *  - `compacted = true` (PURGED): the fold drops tombstoned docs before
+    *    re-ranking, making the epoch bit-identical to a fresh build over
+    *    the survivors — the oracle is BM25 over the FILTERED corpus
+    *    (restricted stats and all).
+    */
+  private def tombstoneFixtureFor(spark: SparkSession, sfDir: String,
+                                  compacted: Boolean): IndexBuilder.Handle = {
+    val tag = if (compacted) "tombcompact" else "tomblive"
+    sessionCache(spark).getOrElseUpdate(s"$sfDir|$tag", {
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-index/$FormatVersion-$tag-$key"
+      val h = IndexBuilder.build(spark, Corpus.fromDocuments(spark, sfDir), dir)
+      val st = graft.index.Catalog.of(dir)
+      if (st.epoch.isEmpty && st.tombstones.isEmpty) {
+        val dead = h.docmeta(spark).toDF()
+          .filter(element_at(split(col("path"), "/"), 2).cast("long") % 7 === 3)
+          .select(col("docId"))
+        graft.index.Compactor.tombstone(spark, dir, dead)
+      }
+      if (compacted && graft.index.Catalog.of(dir).epoch.isEmpty)
+        graft.index.Compactor.compact(spark, dir)
+      h
+    })
+  }
+
+  def tombstonedLiveIndexFor(spark: SparkSession, sfDir: String): IndexBuilder.Handle =
+    tombstoneFixtureFor(spark, sfDir, compacted = false)
+
+  def tombstonedCompactedIndexFor(spark: SparkSession, sfDir: String): IndexBuilder.Handle =
+    tombstoneFixtureFor(spark, sfDir, compacted = true)
 
   /** Quantize a double score to a long at 4 decimals — identical float ops
     * (`floor(x*10000 + 0.5)`) in Spark and the DuckDB oracle, so hashing

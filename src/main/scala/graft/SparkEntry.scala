@@ -63,15 +63,24 @@ object SparkEntry {
        |WHERE i / (sa.n + sb.n - i) >= 0.6
        |ORDER BY a, b""".stripMargin
 
-  /** Full BM25 pipeline over `documents` (Bm25.scala transliterated). */
-  private def bm25Sql(terms: Seq[String], conjunctive: Boolean): String = {
+  /** Full BM25 pipeline over `documents` (Bm25.scala transliterated).
+    * `docWhere` restricts the corpus (the tombstone-compaction oracle:
+    * after a compact purges deletes, the index IS a fresh build over the
+    * surviving docs, so the oracle is BM25 over the filtered corpus).
+    */
+  private def bm25Sql(terms: Seq[String], conjunctive: Boolean,
+                      docWhere: String = "TRUE"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val having = if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}" else ""
-    s"""WITH $toksCte,
+    s"""WITH dsrc AS (SELECT * FROM documents WHERE $docWhere),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+       |  FROM dsrc
+       |), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
        |tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY 1),
-       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-       |                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+       |stats AS (SELECT (SELECT count(*) FROM dsrc)::DOUBLE AS n,
+       |                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM dsrc)::DOUBLE AS avgdl),
        |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1),
        |scores AS (
        |  SELECT tft.doc_id AS doc_id,
@@ -178,11 +187,11 @@ object SparkEntry {
     },
     // index-backed phrase search: conjunctive WAND candidates + adjacency
     // verified against the positional postings stage (no source re-read);
-    // oracle = conjunctive BM25 filtered by token adjacency in SQL
+    // oracle = conjunctive BM25 filtered by token adjacency in SQL. The
+    // positional tier is provisioned by the Engine FIXTURE helper — the
+    // query path itself fails loudly on an index without positions.
     "ft_phrase_positional" -> { (s, dir) =>
-      val h = Engine.indexFor(s, dir)
-      graft.index.IndexBuilder.buildPositions(
-        s, graft.corpus.Corpus.fromDocuments(s, dir), h.dir, h.mode)
+      val h = Engine.positionalIndexFor(s, dir)
       Engine.hitsAsDocIds(s, h, graft.query.Phrase.search(s, h, "join order"))
     },
     // segment compaction (the ES background-merge analog, Compactor.scala):
@@ -194,6 +203,40 @@ object SparkEntry {
       val h = Engine.compactedIndexFor(s, dir)
       Engine.hitsAsDocIds(s, h,
         graft.query.Searcher.topK(s, h, "merge batch", Int.MaxValue).toDF())
+    },
+    // index-level DELETE, tier 1 (LIVE tombstones, Compactor.tombstone):
+    // docs with doc_id % 7 == 3 are tombstoned; every query path excludes
+    // them immediately while scores keep the stored full-corpus stats
+    // (Lucene deleted-docs-count-until-merge semantics) — the oracle is
+    // full-corpus BM25 filtered OUTSIDE the scoring pipeline.
+    "ft_tombstone_search" -> { (s, dir) =>
+      val h = Engine.tombstonedLiveIndexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topK(s, h, "merge spark", Int.MaxValue).toDF())
+    },
+    // index-level DELETE, tier 2 (PURGED at compaction): the fold drops
+    // tombstoned docs before re-ranking, so the epoch equals a fresh build
+    // over the survivors — the oracle is BM25 over the FILTERED corpus
+    // (restricted N/avgdl/df and all).
+    "ft_tombstone_compact" -> { (s, dir) =>
+      val h = Engine.tombstonedCompactedIndexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topK(s, h, "merge spark", Int.MaxValue).toDF())
+    },
+    // COMPOSED query + aggregation in one pass (the ES `_search` body
+    // shape: query + aggs per request — Searcher.searchAgg): per-lang
+    // bucket stats over the docs matching a two-term disjunctive query.
+    // Per-doc scores are quantized BEFORE summing so the aggregate is
+    // summation-order independent in both engines.
+    "ft_search_agg" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Searcher.searchAgg(s, h, "merge window") { hits =>
+        hits.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("dl")).cast("long").as("sum_dl"),
+            sum(Engine.quantized(col("score"))).as("sum_score_q"))
+          .orderBy(col("lang"))
+      }
     },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
@@ -262,6 +305,8 @@ object SparkEntry {
 
     // === training-data pipeline ops ===
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    // the APPLY step: the deduplicated corpus (non-keepers anti-joined out)
+    "dedup_apply" -> ((s, d) => Dedup.applyClusters(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     // connected-component keeper assignment over the verified pair set
@@ -281,6 +326,12 @@ object SparkEntry {
     // pipeline oracle-checkable (the partition-PRUNED plan property is
     // asserted in OpsSpec; ann_ivf_probe below exercises default pruning).
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, lists = 16, nprobe = 16)),
+    // INCREMENTAL IVF under the oracle: index built over 3/4 of the corpus,
+    // the rest ivfAppend'ed against the frozen centroids (marker-committed
+    // delta, partition-pruned like the base); the exhaustive probe must
+    // equal brute force over the FULL table — green only if the append
+    // committed every new vector exactly once.
+    "ann_ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
     // default approximate probe (nprobe < lists): reads only nprobe/lists of
     // the table via PartitionFilters — rows-only check (recall vs brute is
     // asserted in OpsSpec), like the other approximate ops.
@@ -314,8 +365,31 @@ object SparkEntry {
     "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
     // the streamed-union search must equal BM25 over the FULL corpus
     "ft_streamed_search" -> bm25Sql(Seq("data", "stream"), conjunctive = false),
+    // LIVE tombstones: full-corpus scoring, deleted docs filtered AFTER —
+    // the stored stats still count them (Lucene pre-merge semantics)
+    "ft_tombstone_search" ->
+      s"""WITH full_scores AS (${bm25Sql(Seq("merge", "spark"), conjunctive = false)})
+         |SELECT doc_id, score_q FROM full_scores
+         |WHERE doc_id % 7 <> 3
+         |ORDER BY score_q DESC, doc_id""".stripMargin,
+    // PURGED tombstones: the compacted epoch equals a fresh build over the
+    // surviving corpus — scoring itself runs on the filtered doc set
+    "ft_tombstone_compact" ->
+      bm25Sql(Seq("merge", "spark"), conjunctive = false, docWhere = "doc_id % 7 <> 3"),
     // ...and so must the COMPACTED index (segments folded into one epoch)
     "ft_compacted_search" -> bm25Sql(Seq("batch", "merge"), conjunctive = false),
+    // query + aggs composed: the bm25 CTE feeds a GROUP BY over doc meta
+    // (lang from documents, dl = the token count the index stores)
+    "ft_search_agg" ->
+      s"""WITH $toksCte,
+         |dlt AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |sc AS (${bm25Sql(Seq("merge", "window"), conjunctive = false)})
+         |SELECT d.lang AS lang, count(*) AS n,
+         |       sum(dlt.dl)::BIGINT AS sum_dl,
+         |       sum(sc.score_q)::BIGINT AS sum_score_q
+         |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |        JOIN dlt ON sc.doc_id = dlt.doc_id
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q
@@ -527,6 +601,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    // the APPLY step: keep docs in no cluster, or that ARE their cluster's
+    // keeper (cluster = transitive closure over the exact pair set — same
+    // recall=1 contract as dedup_minhash_lsh / dedup_clusters above)
+    "dedup_apply" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT a AS s, b AS t FROM jp UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT s AS id, t AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.t FROM reach JOIN edges ON reach.r = edges.s
+         |),
+         |cl AS (SELECT id AS doc_id, least(id, min(r)) AS keeper
+         |       FROM reach GROUP BY id)
+         |SELECT d.doc_id AS doc_id, d.lang AS lang, md5(d.text) AS digest
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id IS NULL OR cl.keeper = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
     // md5-based simhash, bit votes and all, transliterated: low-64 of
     // md5(term) as UBIGINT, tf-weighted ±votes per bit, sign → bit string
@@ -569,6 +660,21 @@ object SparkEntry {
     // exhaustive-probe IVF ≡ brute-force cosine top-k (same arithmetic,
     // same quantization/ordering) — the oracle checks the full IVF pipeline
     "ann_ivf_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |s AS (
+        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
+        |         (SELECT sum(v * v) FROM q) AS nq
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
+    // append fixture probes exhaustively ⇒ brute-force arithmetic over the
+    // full table (same oracle as ann_ivf_topk)
+    "ann_ivf_append_topk" ->
       """WITH q AS (
         |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
         |  FROM embeddings WHERE vec_id = 0),

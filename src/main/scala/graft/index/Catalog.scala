@@ -21,12 +21,16 @@ object Catalog {
     * un-folded streamed segment paths. `hidden` = segment NAMES permanently
     * excluded by the current epoch's folded list or a live merged segment's
     * replaces list — a new segment must never reuse one of these names
-    * (it would be invisible forever). `fingerprint` keys every downstream
-    * cache (postings/stats/df) — any segment arrival, compaction, or
-    * same-dir rebuild changes it.
+    * (it would be invisible forever). `tombstones` = committed tombstone
+    * delta dirs under the active root (docIds deleted from query results
+    * until a compaction drops them physically — Compactor.tombstone).
+    * `fingerprint` keys every downstream cache (postings/stats/df/deletes)
+    * — any segment arrival, compaction, tombstone commit, or same-dir
+    * rebuild changes it.
     */
   final case class State(epoch: Option[String], segments: Seq[String],
-                         hidden: Set[String], fingerprint: String)
+                         hidden: Set[String], tombstones: Seq[String],
+                         fingerprint: String)
 
   private final case class Entry(atMs: Long, state: State)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Entry]
@@ -68,13 +72,18 @@ object Catalog {
       Fs.readString(s"$d/replaces").toSeq
         .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))).toSet
     val segs = completed.filter(d => !folded(Fs.name(d)) && !replaced(Fs.name(d)))
+    // committed tombstone deltas (marker-gated like segments); epoch-scoped
+    // — docIds are re-ranked at each fold, so a new epoch starts clean
+    val tombs = Fs.listDirs(s"$root/tombstones")
+      .filter(d => Fs.exists(s"$d/_DONE"))
     // stamp the fingerprint with the postings-stage marker mtime: a
     // delete+rebuild of the SAME dir (create-index --force + export in one
     // session) would otherwise fingerprint identically and serve the old
     // corpus's cached blocks/df/stats — the same stale-cache class the IVF
     // mtime key fixes (Similarity.ivfKey)
     val stamp = Fs.mtime(s"$root/_STAGE_postings")
-    State(epoch, segs, folded ++ replaced,
-      s"${epoch.getOrElse("genesis")}:$stamp:${segs.size}:${segs.hashCode.toHexString}")
+    State(epoch, segs, folded ++ replaced, tombs,
+      s"${epoch.getOrElse("genesis")}:$stamp:${segs.size}:${segs.hashCode.toHexString}" +
+        s":${tombs.size}:${tombs.hashCode.toHexString}")
   }
 }

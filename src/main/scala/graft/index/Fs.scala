@@ -101,6 +101,18 @@ object Fs {
     fc.rename(new Path(tmp), new Path(path), Options.Rename.OVERWRITE)
   }
 
+  /** Atomic create-if-absent (parents created): true iff this call created
+    * the file — the lock-acquisition primitive (Hadoop's createNewFile is
+    * atomic on HDFS/local; object stores degrade to best-effort, where the
+    * staleness timeout still bounds the damage).
+    */
+  def tryCreateNew(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.mkdirs(p.getParent)
+    try fs.createNewFile(p)
+    catch { case _: java.io.IOException => false }
+  }
+
   /** Last path component (works for both `file:/x/y` and `/x/y`). */
   def name(path: String): String = new Path(path).getName
 

@@ -52,12 +52,61 @@ object IndexBuilder {
       math.min((n + cfg.docsPerSalt - 1) / math.max(cfg.docsPerSalt, 1L), 65536L).toInt)
 
   final case class Handle(dir: String, mode: Analyzer.Mode) {
+
+    /** One CONSISTENT view of the index, resolved from a single
+      * Catalog.State — root, segment set and fingerprint all come from the
+      * same snapshot. Multi-part query paths (Searcher.topK, Phrase.search)
+      * resolve one Snapshot per query: composing them from separate
+      * Catalog.of calls could pair an old epoch root with a post-fold
+      * segment list (streamed docs silently missing) or vice versa
+      * (double-counted) when a compaction commits mid-query (ADVICE r3
+      * item 1).
+      */
+    def snapshot: Snapshot = Snapshot(dir, mode, Catalog.of(dir))
+
+    // Single-part accessors delegate to a fresh snapshot each — every one
+    // of these derives ALL its paths from that one snapshot internally.
+    def root: String = snapshot.root
+    def segmentDirs: Seq[String] = snapshot.segmentDirs
+    def segmentFingerprint: String = snapshot.fingerprint
+    def docmeta(spark: SparkSession): Dataset[DocMeta] = snapshot.docmeta(spark)
+    def postings(spark: SparkSession): Dataset[PostingBlock] = snapshot.postings(spark)
+    def termstats(spark: SparkSession): Dataset[TermStat] = snapshot.termstats(spark)
+    def stats(spark: SparkSession): IndexStats = snapshot.stats(spark)
+    def lineage(spark: SparkSession): Dataset[LineageRow] = snapshot.lineage(spark)
+    def positions(spark: SparkSession): Dataset[PositionsRow] = snapshot.positions(spark)
+    def positionsAll(spark: SparkSession): Dataset[PositionsRow] = snapshot.positionsAll(spark)
+    def postingsAll(spark: SparkSession): Dataset[PostingBlock] = snapshot.postingsAll(spark)
+    def docmetaAll(spark: SparkSession): Dataset[DocMeta] = snapshot.docmetaAll(spark)
+    def liveStats(spark: SparkSession): (IndexStats, Double) = snapshot.liveStats(spark)
+    def dfFor(spark: SparkSession, terms: Seq[String]): Map[String, Long] =
+      snapshot.dfFor(spark, terms)
+  }
+
+  /** An immutable view of one Catalog.State: every accessor derives from the
+    * SAME (epoch, segments, fingerprint) triple, so a query assembled from
+    * several of these reads one consistent index state no matter what
+    * commits concurrently (segment arrival, minor merge, epoch fold).
+    */
+  final case class Snapshot(dir: String, mode: Analyzer.Mode, state: Catalog.State) {
+
     /** Active table root: `dir` itself (genesis layout) until a compaction
       * has committed, then the epoch directory named by `dir/CURRENT`
-      * (Compactor.scala). Resolved through the Catalog memo — a query does
-      * not pay filesystem metadata calls (Catalog.scala).
+      * (Compactor.scala).
       */
-    def root: String = Catalog.of(dir).epoch.map(e => s"$dir/$e").getOrElse(dir)
+    def root: String = state.epoch.map(e => s"$dir/$e").getOrElse(dir)
+
+    /** Completed, un-folded streamed segments (marker-gated: a half-written
+      * replayed batch is invisible until its _DONE lands; segments folded by
+      * the current epoch's compaction are excluded — Catalog.scala).
+      */
+    def segmentDirs: Seq[String] = state.segments
+
+    /** Fingerprint of the searchable (epoch, segment set) — cache keys
+      * include it so a new segment or a compaction invalidates cached
+      * postings/stats.
+      */
+    def fingerprint: String = state.fingerprint
 
     def docmeta(spark: SparkSession): Dataset[DocMeta] = {
       import spark.implicits._
@@ -100,20 +149,6 @@ object IndexBuilder {
       spark.read.parquet((s"$root/positions" +: segs): _*).as[PositionsRow]
     }
 
-    // ---- streamed segments (live ingest, StreamingIngest.appendSegment) --
-
-    /** Completed, un-folded streamed segments (marker-gated: a half-written
-      * replayed batch is invisible until its _DONE lands; segments folded by
-      * the current epoch's compaction are excluded — Catalog.scala).
-      */
-    def segmentDirs: Seq[String] = Catalog.of(dir).segments
-
-    /** Fingerprint of the searchable (epoch, segment set) — cache keys
-      * include it so a new segment or a compaction invalidates cached
-      * postings/stats.
-      */
-    def segmentFingerprint: String = Catalog.of(dir).fingerprint
-
     /** Batch postings ∪ all completed streamed segments' postings — ONE
       * multi-path parquet read (same schema; segment salt ids live in a
       * disjoint namespace, so per-salt groups stay disjoint docId ranges).
@@ -142,7 +177,6 @@ object IndexBuilder {
       * exact scoring always uses the live avgdl.
       */
     def liveStats(spark: SparkSession): (IndexStats, Double) = {
-      import spark.implicits._
       val base = stats(spark)
       val segs = segmentDirs
       if (segs.isEmpty) (base, math.max(1.0, base.avgdl / base.buildAvgdl))
@@ -164,6 +198,37 @@ object IndexBuilder {
       spark.read.parquet(paths: _*).as[TermStat]
         .filter(col("term").isin(terms: _*))
         .collect().groupBy(_.term).map { case (t, rows) => t -> rows.map(_.df).sum }
+    }
+
+    /** Committed tombstone delta dirs (Compactor.tombstone) — docIds the
+      * Searcher must exclude until the next compaction drops them.
+      */
+    def tombstoneDirs: Seq[String] = state.tombstones
+
+    /** The delete set as a SORTED docId array — the broadcast-friendly
+      * Lucene live-docs analog (`binarySearch < 0` = live). Bounded by
+      * `graft.tombstones.maxResident` (default 10M ≈ 80 MB): the set is
+      * broadcast to every WAND task, and between compactions it is expected
+      * small — a pipeline that tombstones a larger fraction should compact,
+      * which purges the set entirely; exceeding the bound fails loudly with
+      * that instruction rather than silently shipping an unbounded
+      * broadcast.
+      */
+    def tombstoneIds(spark: SparkSession): Array[Long] = {
+      val dirs = tombstoneDirs
+      if (dirs.isEmpty) Array.emptyLongArray
+      else {
+        import spark.implicits._
+        val cap = sys.props.getOrElse("graft.tombstones.maxResident", "10000000").toInt
+        val ids = spark.read.parquet(dirs.map(_ + "/ids"): _*)
+          .select(org.apache.spark.sql.functions.col("docId")).distinct()
+          .limit(cap + 1).as[Long].collect()
+        require(ids.length <= cap,
+          s"tombstone set exceeds $cap resident docIds — run Compactor.compact " +
+            "to purge deletes (or raise -Dgraft.tombstones.maxResident)")
+        java.util.Arrays.sort(ids)
+        ids
+      }
     }
   }
 

@@ -24,14 +24,19 @@ object Phrase {
   def search(spark: SparkSession, h: IndexBuilder.Handle, phrase: String,
              k: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    // ONE snapshot for the whole query: the WAND candidates and the
+    // positional verify must read the same (epoch, segment) state — a
+    // compaction committing between the two would pair re-ranked candidate
+    // docIds with the other state's position lists (ADVICE r3 item 1)
+    val v = h.snapshot
     // token order matters for adjacency (topK internally dedupes for WAND)
-    val terms: Array[String] = Analyzer.tokens(phrase, h.mode)
+    val terms: Array[String] = Analyzer.tokens(phrase, v.mode)
     // candidates must be exhaustive: limiting before the adjacency filter
     // would under-fill a finite k (the filter only removes rows)
-    val scored = Searcher.topK(spark, h, phrase, Int.MaxValue, conjunctive = true).toDF()
+    val scored = Searcher.topKSnap(spark, v, phrase, Int.MaxValue, conjunctive = true).toDF()
     if (terms.isEmpty) return scored
     val bTerms = spark.sparkContext.broadcast(terms)
-    val matches = h.positionsAll(spark)
+    val matches = v.positionsAll(spark)
       .filter($"term".isin(terms.distinct.toSeq: _*))
       .groupByKey(_.docId)
       .flatMapGroups { (docId, it) =>

@@ -144,8 +144,16 @@ object Wand {
   /** Disjunctive (OR) top-k via block-max WAND. With k >= candidate count it
     * degrades to exhaustive DAAT (threshold stays -inf) — the mode the
     * verify harness uses so membership is complete.
+    *
+    * `liveDoc` is the delete filter (tombstones, Compactor.tombstone): a dead
+    * doc is scored but never inserted, so it cannot occupy a top-k slot —
+    * filtering AFTER top-k would under-fill k (a deleted doc's slot must go
+    * to the next-best live doc). Skipped inserts only keep the WAND
+    * threshold lower than it could be: strictly less pruning, never a
+    * wrong result (the Lucene liveDocs-inside-collector semantics).
     */
-  def topKOr(scorers0: Array[TermScorer], k: Int): Array[(Long, Double)] = {
+  def topKOr(scorers0: Array[TermScorer], k: Int,
+             liveDoc: Long => Boolean = _ => true): Array[(Long, Double)] = {
     var live = scorers0.filter(!_.exhausted)
     val top = new TopK(k)
     while (live.nonEmpty) {
@@ -175,7 +183,7 @@ object Wand {
         }
         if (bub >= th) {
           val s = scoreDoc(pivotDoc, live)
-          top.insert(s, pivotDoc)
+          if (liveDoc(pivotDoc)) top.insert(s, pivotDoc)
           var y = 0
           while (y < live.length) {
             if (live(y).curDoc == pivotDoc) live(y).next()

@@ -155,6 +155,13 @@ object StreamingIngest {
         .collectionAccumulator[(Int, Long)](s"segment-dl-$batchId")
       val tsAcc = spark.sparkContext
         .collectionAccumulator[(Int, Map[String, (Long, Double)])](s"segment-ts-$batchId")
+      // the per-batch vocabulary must fit on the driver (the termstats tally
+      // ships one map per partition): bounded in practice by the 2^20 batch
+      // cap, but a pathological batch (huge distinct-term docs) must fail
+      // LOUDLY in the task instead of silently bloating driver memory
+      // (VERDICT r3 wrong-item 3). Resolved driver-side, captured below.
+      val maxTermsPerPartition =
+        sys.props.getOrElse("graft.ingest.maxTermsPerPartition", "1000000").toInt
       val writers = Seq(
         // docmeta, Σdl tallied in-flight (no re-read job)
         () => withIds.select($"docId", $"repo", $"path", $"commit", $"lang",
@@ -173,6 +180,11 @@ object StreamingIngest {
           .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
           .mapPartitions(perPartitionTally[graft.index.PostingBlock,
               Map[String, (Long, Double)]](tsAcc, Map.empty) { (m, b) =>
+            require(m.size < maxTermsPerPartition,
+              s"micro-batch distinct-term tally exceeded $maxTermsPerPartition " +
+                "terms in one partition — the per-batch vocabulary must fit on " +
+                "the driver; shrink the batch (maxFilesPerTrigger) or raise " +
+                "-Dgraft.ingest.maxTermsPerPartition")
             val (df0, mi0) = m.getOrElse(b.term, (0L, 0.0))
             m.updated(b.term, (df0 + b.n, math.max(mi0, b.maxImpact)))
           })

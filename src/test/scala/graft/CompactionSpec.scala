@@ -254,6 +254,140 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(after == Searcher.topK(spark, fresh, "the import", Int.MaxValue).collect().toSeq)
   }
 
+  test("tombstones: live deletes vanish from every query path, scores unchanged (Lucene semantics)") {
+    import spark.implicits._
+    val all = (0 until 60).map(i => Corpus.synthDoc(i, 61L))
+    val idx = tmpDir("graft-tomb-idx")
+    val h = IndexBuilder.build(spark, all.toDS(), idx, IndexBuilder.Config(salts = 4))
+    val preTop = Searcher.topK(spark, h, "the import", Int.MaxValue).collect()
+      .map(x => (x.docId, x.score)).toMap
+    // tombstone every docId % 3 == 0
+    val deadIds = h.docmeta(spark).collect().map(_.docId).filter(_ % 3 == 0).toSet
+    Compactor.tombstone(spark, idx, deadIds.toSeq.toDF("docId"))
+    // exhaustive search: dead docs gone, surviving scores BIT-IDENTICAL
+    val post = Searcher.topK(spark, h, "the import", Int.MaxValue).collect()
+      .map(x => (x.docId, x.score)).toMap
+    assert(post.keySet == preTop.keySet.filterNot(deadIds), "membership must drop exactly the tombstoned docs")
+    post.foreach { case (d, s) => assert(s == preTop(d), s"score changed for live doc $d") }
+    // finite k: dead docs' slots go to the next-best LIVE docs
+    val top5 = Searcher.topK(spark, h, "the import", 5).collect().map(_.docId)
+    val want5 = preTop.toSeq.filterNot { case (d, _) => deadIds(d) }
+      .sortBy { case (d, s) => (-s, d) }.take(5).map(_._1)
+    assert(top5.toSeq == want5, "finite-k must backfill deleted slots with live docs")
+    // distributed path agrees
+    val dist = Searcher.topK(spark, h, "the import", Int.MaxValue,
+      driverPathMaxPostings = 0L).collect().map(x => (x.docId, x.score)).toMap
+    assert(dist == post, "driver and distributed paths must agree under tombstones")
+    // exact term lookup excludes dead docs too
+    val lk = Searcher.termLookup(spark, h, "the").collect().map(_.getLong(0)).toSet
+    assert(lk.intersect(deadIds).isEmpty && lk.nonEmpty)
+  }
+
+  test("compact after tombstoning == fresh build over the surviving corpus (bit-identical)") {
+    import spark.implicits._
+    val all = (0 until 90).map(i => Corpus.synthDoc(i, 67L))
+    val idx = tmpDir("graft-tombc-idx")
+    val idxSurv = tmpDir("graft-tombc-surv")
+    val cfg = IndexBuilder.Config(salts = 4)
+    val h = IndexBuilder.build(spark, all.take(70).toDS(), idx, cfg)
+    StreamingIngest.appendSegment(spark, all.drop(70).toDS(), 0L, idx,
+      h.stats(spark).avgdl, 4, 1L << 40)
+    // tombstone a batch-index subset AND a streamed subset (commit-keyed)
+    val deadCommits = all.zipWithIndex.collect { case (d, i) if i % 5 == 2 => d.commit }.toSet
+    val dead = h.docmetaAll(spark).toDF()
+      .filter(col("commit").isin(deadCommits.toSeq: _*)).select(col("docId"))
+    Compactor.tombstone(spark, idx, dead)
+    val hc = Compactor.compact(spark, idx, cfg)
+    assert(hc.segmentDirs.isEmpty && hc.snapshot.tombstoneDirs.isEmpty,
+      "compaction must fold segments AND purge the delete set")
+    // the epoch equals a FRESH build over the survivors — stats, docmeta
+    // (re-ranked dense ids), postings blocks, searches
+    val surv = all.filterNot(d => deadCommits(d.commit))
+    val hS = IndexBuilder.build(spark, surv.toDS(), idxSurv, cfg)
+    assert(hc.stats(spark) == hS.stats(spark))
+    assert(hc.docmeta(spark).collect().sortBy(_.docId).toSeq ==
+      hS.docmeta(spark).collect().sortBy(_.docId).toSeq)
+    def blockKey(b: graft.index.PostingBlock) =
+      (b.term, b.salt, b.blockIdx, b.firstDocId, b.lastDocId, b.n, b.maxImpact,
+        b.docDeltas.toSeq, b.tfs.toSeq, b.dls.toSeq)
+    assert(hc.postings(spark).collect().map(blockKey).sortBy(_.toString).toSeq ==
+      hS.postings(spark).collect().map(blockKey).sortBy(_.toString).toSeq)
+    for (q <- queries)
+      assert(Searcher.topK(spark, hc, q, Int.MaxValue).collect().toSeq ==
+        Searcher.topK(spark, hS, q, Int.MaxValue).collect().toSeq)
+    // tombstone-only compact (no live segments): deletes alone justify a
+    // fold (Handle.root resolves the live catalog, so pin pre-fold values)
+    val rootBefore = hc.root
+    val nBefore = hc.docmeta(spark).count()
+    val dead2 = hc.docmeta(spark).collect().map(_.docId).filter(_ % 7 == 1)
+    Compactor.tombstone(spark, idx, dead2.toSeq.toDF("docId"))
+    val hc2 = Compactor.compact(spark, idx, cfg)
+    assert(hc2.root != rootBefore, "a delete-only compact must still fold a new epoch")
+    assert(hc2.docmeta(spark).count() == nBefore - dead2.length)
+  }
+
+  test("maintenance lock: merge skips while held, compact fails loudly, stale locks break") {
+    import spark.implicits._
+    val idx = tmpDir("graft-lock-idx")
+    val all = (0 until 40).map(i => Corpus.synthDoc(i, 53L))
+    val h = IndexBuilder.build(spark, all.take(20).toDS(), idx, IndexBuilder.Config(salts = 2))
+    val avgdl = h.stats(spark).avgdl
+    StreamingIngest.appendSegment(spark, all.slice(20, 30).toDS(), 0L, idx, avgdl, 2, 1L << 40)
+    StreamingIngest.appendSegment(spark, all.slice(30, 40).toDS(), 1L, idx, avgdl, 2, 1L << 40)
+    // a peer holds the lock: opportunistic merge must SKIP (segments stay)
+    assert(Compactor.tryMaintLock(idx))
+    assert(Compactor.mergeSegments(spark, idx).segmentDirs.size == 2)
+    // ...and compact must fail loudly after its bounded wait
+    sys.props("graft.maint.lock.wait.ms") = "300"
+    try {
+      val ex = intercept[IllegalArgumentException] { Compactor.compact(spark, idx) }
+      assert(ex.getMessage.contains("_MAINT"))
+    } finally sys.props.remove("graft.maint.lock.wait.ms")
+    // a CRASHED holder's lock (stale mtime) is broken and the op proceeds
+    val lock = new java.io.File(idx, "_MAINT")
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - Compactor.maintLockStaleMs - 2000))
+    val hm = Compactor.mergeSegments(spark, idx)
+    assert(hm.segmentDirs.size == 1, "stale lock must be broken, merge must run")
+    assert(!lock.exists, "lock must be released when the op completes")
+  }
+
+  test("gc reconcile sweeps crash-leaked dirs (hidden-but-undeferred segments, dead half-merges)") {
+    import spark.implicits._
+    val idx = tmpDir("graft-gcrec-idx")
+    val all = (0 until 40).map(i => Corpus.synthDoc(i, 59L))
+    val h = IndexBuilder.build(spark, all.take(20).toDS(), idx, IndexBuilder.Config(salts = 2))
+    val avgdl = h.stats(spark).avgdl
+    StreamingIngest.appendSegment(spark, all.slice(20, 30).toDS(), 0L, idx, avgdl, 2, 1L << 40)
+    StreamingIngest.appendSegment(spark, all.slice(30, 40).toDS(), 1L, idx, avgdl, 2, 1L << 40)
+    Compactor.mergeSegments(spark, idx) // hides batch=0/1, defers them in _gc
+    // simulate the crash window between commit and gcDefer: the ledger is gone
+    graft.index.Fs.delete(s"$idx/_gc")
+    // and a crashed half-merge: a merged=* dir that never got its _DONE
+    graft.index.Fs.mkdirs(s"$idx/ingest_segments/merged=99")
+    new java.io.File(s"$idx/ingest_segments/merged=99")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    sys.props("graft.gc.grace.ms") = "150"
+    try {
+      Compactor.mergeSegments(spark, idx) // reconcile re-records the leaked dirs
+      assert(!graft.index.Fs.exists(s"$idx/ingest_segments/merged=99"),
+        "dead _DONE-less merge dir must be deleted")
+      assert(graft.index.Fs.readString(s"$idx/_gc").exists(c =>
+        c.contains("batch=0") && c.contains("batch=1")),
+        "hidden-but-undeferred segments must re-enter the GC ledger")
+      Thread.sleep(300) // past the grace period
+      Compactor.mergeSegments(spark, idx) // next maintenance op sweeps them
+      assert(!graft.index.Fs.exists(s"$idx/ingest_segments/batch=0") &&
+        !graft.index.Fs.exists(s"$idx/ingest_segments/batch=1"),
+        "leaked segment dirs must be physically deleted after the grace period")
+    } finally sys.props.remove("graft.gc.grace.ms")
+    // the index is still fully correct after the sweeps
+    val hAll = IndexBuilder.build(spark, all.toDS(), tmpDir("graft-gcrec-all"),
+      IndexBuilder.Config(salts = 2))
+    for (q <- queries0)
+      assert(byCommit(IndexBuilder.openHandle(idx), q) == byCommit(hAll, q))
+  }
+
   test("phrase query on an index without the positional tier fails loudly") {
     import spark.implicits._
     val idx = tmpDir("graft-nopos-idx")

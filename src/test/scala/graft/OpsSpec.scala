@@ -128,6 +128,39 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PartitionFilters"), "expected partition-pruned scan")
   }
 
+  test("incremental IVF: append ≡ rebuild assignments; exhaustive probe == brute over the union") {
+    import spark.implicits._
+    val dir = tmpDir("graft-ivfappend")
+    Similarity.synthEmbeddings(spark, dir, 2000L, 32, centers = 50)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivf = s"$dir/ivf"
+    Similarity.buildIvfFrom(spark, e.filter(col("vec_id") % 4 =!= 0), ivf, 16)
+    Similarity.ivfAppend(spark, ivf, e.filter(col("vec_id") % 4 === 0))
+    // every vector present exactly once; every stored list_id — base AND
+    // appended — equals a fresh assignment against the same centroids
+    val centroids = spark.read.parquet(s"$ivf/centroids").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val stored = spark.read.parquet(s"$ivf/emb")
+      .unionByName(spark.read.parquet(s"$ivf/append-000001/emb"))
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .as[(Long, Array[Float], Int)].collect()
+    assert(stored.length == 2000 && stored.map(_._1).distinct.length == 2000)
+    stored.foreach { case (id, v, l) =>
+      assert(l == Similarity.nearestList(v, centroids), s"vec $id misassigned") }
+    // exhaustive probe over base ∪ append == brute force over the full table
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding"))
+      .as[Array[Float]].head()
+    val brute = Similarity.cosineTopK(spark, dir, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probed = Similarity.ivfProbe(spark, ivf, q, 0L, 20, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probed == brute)
+    // the pruned probe still partition-prunes BOTH scans of the union
+    val plan = Similarity.ivfProbe(spark, ivf, q, 0L, 20, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition-pruned union scan")
+  }
+
   test("centroid assignment is the true argmax for a sample of vectors") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -150,6 +183,34 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       val want = centroids.maxBy { case (_, c) => cos(v, c) }._1
       assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
     }
+  }
+
+  test("plan caches are source-mtime-stamped: same-path delete+rewrite is not served stale") {
+    import spark.implicits._
+    val dir = tmpDir("graft-stale")
+    // gapDetect's cached gap-scan (query/Aggs.scala planCache)
+    Seq(1L, 2L, 5L).toDF("l_orderkey").write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def gaps() = graft.query.Aggs.gapDetect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gaps() == Seq((3L, 4L)))
+    Thread.sleep(50) // mtime resolution
+    Seq(1L, 2L, 3L, 7L).toDF("l_orderkey").write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(gaps() == Seq((4L, 6L)),
+      "gapDetect served the rewritten table from the stale cached scan")
+    // minhashLshPairs' cached candidate shingles (ops/Dedup.scala planCache)
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words here entirely unrelated tokens now"
+    def writeDocs(texts: Seq[String]): Unit = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs() = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    writeDocs(Seq(dup, dup + " x", other))
+    assert(pairs() == Set((0L, 1L)))
+    Thread.sleep(50)
+    writeDocs(Seq(other, dup, dup + " y"))
+    assert(pairs() == Set((1L, 2L)),
+      "minhashLshPairs verified against the stale cached shingle table")
   }
 
   test("multimodal extract consistent with column-only metadata + deterministic") {

@@ -123,6 +123,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "expected a phrase hit from the live-ingested segment")
   }
 
+  test("pathological huge-vocabulary batch fails LOUDLY instead of bloating the driver") {
+    import spark.implicits._
+    val idx = tmpDir("graft-vocab-idx")
+    // every doc contributes many unique terms — with the cap lowered, the
+    // per-partition termstats tally must trip the guard inside the task
+    val docs = (0 until 8).map { i =>
+      val d = Corpus.synthDoc(i, 19L)
+      d.copy(content = (0 until 200).map(j => s"uniqterm${i}x$j").mkString(" "))
+    }.toDS()
+    sys.props("graft.ingest.maxTermsPerPartition") = "50"
+    try {
+      val ex = intercept[Throwable] {
+        StreamingIngest.appendSegment(spark, docs, batchId = 0L, indexDir = idx,
+          avgdl = 80.0, salts = 2, baseDocId = 1L << 40)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("distinct-term tally")),
+        s"expected the vocabulary guard to trip, got: ${messages(ex)}")
+      // the failed batch must not have committed a visible segment
+      assert(IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple).segmentDirs.isEmpty)
+    } finally sys.props.remove("graft.ingest.maxTermsPerPartition")
+  }
+
   test("live windowed metrics stream with watermark produces per-lang counts") {
     val src = tmpDir("graft-stream-src2")
     writeBatch(src, (0 until 40).map(i => Corpus.synthDoc(i, 9L)))
