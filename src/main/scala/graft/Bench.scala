@@ -104,7 +104,10 @@ object Bench {
 
     // --- 1. scaling ---------------------------------------------------------
     val wide = math.min(32, cpus)
-    val roundsThr = interleavedThroughput(Seq(2, 8, wide), docs, rounds = 5)
+    // 7 rounds (1 warm-up + 6 measured): the median over 6 within-round
+    // pairs is stable against the ±0.04 run-to-run bounce this shared host
+    // shows with only 4 measured rounds
+    val roundsThr = interleavedThroughput(Seq(2, 8, wide), docs, rounds = 7)
     // median within-round pair ratio: pairing cancels host-noise drift
     // (levels of a round run adjacent in time); the median round is robust
     // to a single disturbed round in either direction (max would cherry-pick

@@ -17,6 +17,8 @@ import graft.streaming.StreamingIngest
   *   graft.Cli ingest <srcDir> <indexDir> <checkpointDir> [--seconds S]
   *   graft.Cli stats <indexDir>
   *   graft.Cli compact <indexDir>     (fold streamed segments into the batch index)
+  *   graft.Cli tombstone <indexDir> <docIdsParquet> | --dedup <srcDir>
+  *                                    (index-level delete; purged at compact)
   *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
   *   graft.Cli search <indexDir> <k> <query terms...> [--and]
   *
@@ -120,15 +122,48 @@ object Cli {
     case "compact" :: indexDir :: _ =>
       // fold completed streamed segments into the batch index (new epoch,
       // atomic CURRENT flip — Compactor.scala); the ES background-merge
-      // analog, here an explicit maintenance command.
-      val before = IndexBuilder.openHandle(indexDir).segmentDirs.size
-      if (before == 0) println("nothing to compact (no live segments)")
+      // analog, here an explicit maintenance command. Also runs when only
+      // TOMBSTONES are pending: a delete-only fold purges them physically.
+      val snap0 = IndexBuilder.openHandle(indexDir).snapshot
+      val before = snap0.segmentDirs.size
+      val tombs = snap0.tombstoneDirs.size
+      if (before == 0 && tombs == 0)
+        println("nothing to compact (no live segments, no tombstones)")
       else {
         val h = graft.index.Compactor.compact(spark, indexDir)
         val st = h.stats(spark)
-        println(s"compacted $before segment(s) -> ${h.root} " +
-          s"(n=${st.n}, avgdl=${st.avgdl}); live segments now ${h.segmentDirs.size}")
+        println(s"compacted $before segment(s), purged $tombs tombstone delta(s) " +
+          s"-> ${h.root} (n=${st.n}, avgdl=${st.avgdl}); " +
+          s"live segments now ${h.segmentDirs.size}")
       }
+
+    case "tombstone" :: indexDir :: rest =>
+      // index-level DELETE (Compactor.tombstone): docIds from an explicit
+      // parquet/file list, or derived from dedup verdicts over a corpus
+      // (--dedup <srcDir>: tombstone every non-keeper of Dedup.dedupClusters
+      // resolved through docmeta — the enforcement step after dedup).
+      import org.apache.spark.sql.functions._
+      val h = IndexBuilder.openHandle(indexDir)
+      val dead: org.apache.spark.sql.DataFrame = opt(rest, "--dedup", "") match {
+        case "" =>
+          val idsPath = rest.filterNot(_.startsWith("--")).headOption.getOrElse(
+            sys.error("usage: tombstone <indexDir> <docIdsParquet> | --dedup <srcDir>"))
+          spark.read.parquet(idsPath)
+        case srcDir =>
+          val losers = graft.ops.Dedup.dedupClusters(spark, srcDir)
+            .filter(col("doc_id") =!= col("keeper")).select(col("doc_id"))
+          // docmeta.path is "lang/doc_id" for documents-shaped corpora
+          // (FIXTURES.md §2) — resolve verdict doc_ids to index docIds
+          h.docmeta(spark).toDF()
+            .select(col("docId"),
+              element_at(split(col("path"), "/"), 2).cast("long").as("doc_id"))
+            .join(losers, "doc_id")
+            .select(col("docId"))
+      }
+      graft.index.Compactor.tombstone(spark, indexDir, dead)
+      val n = h.snapshot.tombstoneIds(spark).length
+      println(s"tombstoned; delete set now $n docId(s) — " +
+        "hidden from queries immediately, purged at the next `compact`")
 
     case "reconcile" :: indexDir :: _ =>
       // TWO-SIDED reconciliation (the es-stats analog, commands/stats.go:
@@ -193,6 +228,7 @@ object Cli {
            |       export <src> <dir> [--mode m] [--positions] [--dry-run] [--verbose] |
            |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
            |       compact <dir> | reconcile <dir> |
+           |       tombstone <dir> <docIdsParquet> | tombstone <dir> --dedup <srcDir> |
            |       search <dir> <k> <terms...> [--and]""".stripMargin)
   }
 }

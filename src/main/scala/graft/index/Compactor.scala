@@ -386,7 +386,7 @@ object Compactor {
           .select($"term",
             least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
               .cast("int").as("salt"),
-            $"docId", $"tf", $"dl")
+            $"docId", TermDoc.packMeta($"dl", $"tf").as("meta"))
           .repartition(parts, $"term", $"salt")
           .sortWithinPartitions($"term", $"salt", $"docId")
           .as[TermDoc]

@@ -308,7 +308,16 @@ object IndexBuilder {
     val sorted = input
       .repartitionByRange(partitions, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // DISK_ONLY measured better than MEMORY_AND_DISK for this transient
+      // shared sort (A/B: eff_2_8 0.865 vs 0.841, +2% wide throughput, no
+      // narrow cost — Probe `withids`): the build's own tokenize/encode
+      // passes are allocation-heavy, so keeping the cached batches out of
+      // the on-heap store trades cheap page-cache-backed disk reads for
+      // execution memory + GC headroom. On a cluster the same logic holds
+      // (executor local disks; a transient build artifact should not
+      // compete with execution memory). Overridable for diskless setups.
+      .persist(org.apache.spark.storage.StorageLevel.fromString(
+        sys.props.getOrElse("graft.build.cacheLevel", "DISK_ONLY")))
     val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max + 1
@@ -432,6 +441,9 @@ object IndexBuilder {
     // the table (one pass, no read-back job). For docmeta, lineage.termCount
     // carries Σdl per partition, which lets the stats stage derive (N, avgdl)
     // with zero additional scans.
+    // When this job runs in-process, its lineage stays on the driver so the
+    // stats stage needs no read-back job at all (resume still reads disk).
+    @volatile var freshDocmetaLineage: Seq[LineageRow] = null
     def docmetaJob(): Unit = timedStage("docmeta") {
       val acc = newLineageAcc(spark, "docmeta")
       val meta = withIds().select($"docId", $"repo", $"path", $"commit", $"lang",
@@ -445,6 +457,7 @@ object IndexBuilder {
           m.commit.hashCode.toLong)))
       instrumented.write.mode("overwrite").parquet(s"$dir/docmeta")
       writeLineageRows(spark, dir, "docmeta", acc.value)
+      freshDocmetaLineage = dedupLineage(acc.value)
     }
 
     // ---- stage 2: postings ------------------------------------------------
@@ -468,7 +481,7 @@ object IndexBuilder {
         .select($"tt.term".as("term"),
           least(floor($"docId" * salts / math.max(n, 1L)), lit(salts - 1))
             .cast("int").as("salt"),
-          $"docId", $"tt.tf".as("tf"), $"dl")
+          $"docId", TermDoc.packMeta($"dl", $"tt.tf").as("meta"))
       val blocks = tokens
         .repartition(parts, $"term", $"salt")
         .sortWithinPartitions($"term", $"salt", $"docId")
@@ -485,43 +498,57 @@ object IndexBuilder {
 
     if (!docmetaDone || !postingsDone) {
       withIds() // materialize the shared sort + exact count once
-      val est = buildAvgdl
+      // docmeta does not depend on buildAvgdl, so its job starts
+      // immediately and the (small) sample-avgdl job runs CONCURRENTLY
+      // with it inside the postings thread — the avgdl estimate leaves the
+      // serial critical path entirely (it only gates postings' block
+      // maxima). The lazy val makes a later stage's reference reuse it.
       val jobs = Seq(
         if (docmetaDone) None else Some(() => docmetaJob()),
-        if (postingsDone) None else Some(() => postingsJob(est))).flatten
+        if (postingsDone) None else Some(() => postingsJob(buildAvgdl))).flatten
       // both pending → overlap the two tokenize passes (a single stage's
       // tasks leave local cores idle at stage tails; two independent jobs
       // fill them — on a cluster, two jobs pipelined over one cached input)
       if (jobs.size == 2) runConcurrently(jobs) else jobs.foreach(_())
     }
 
-    // ---- stage 3: stats (derived from docmeta lineage; no table scan) -----
-    if (!stageComplete(spark, dir, "stats")) timedStage("stats") {
-      val lin = spark.read.parquet(s"$dir/lineage/docmeta").as[LineageRow].collect()
-      val n = lin.map(_.rows).sum
-      val tot = lin.map(_.termCount).sum
-      // avgdl defined as sum/count in double — transliterated identically in
-      // the oracle SQL (DuckDB avg over ints computes the same).
-      val st = IndexStats(n, tot.toDouble / n.toDouble, tot, buildAvgdl)
-      Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
-      writeLineageRows(spark, dir, "stats",
-        java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
-    }
-
-    // ---- stage 4: termstats ----------------------------------------------
-    if (!stageComplete(spark, dir, "termstats")) timedStage("termstats") {
-      // reads back only 3 pruned columns of the just-written postings
-      val acc = newLineageAcc(spark, "termstats")
-      val po = spark.read.parquet(s"$dir/postings")
-      po.groupBy($"term")
-        .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
-        .as[TermStat]
-        .mapPartitions(tally(acc, "termstats")(
-          _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
-          t => mix3(t.term.hashCode.toLong, t.df, 0L)))
-        .write.mode("overwrite").parquet(s"$dir/termstats")
-      writeLineageRows(spark, dir, "termstats", acc.value)
-    }
+    // ---- stages 3+4: stats ∥ termstats ------------------------------------
+    // Independent of each other (stats ← docmeta lineage, termstats ← the
+    // postings table), so they run concurrently — together with the fused
+    // lineage path below this removes ~1s of core-count-independent serial
+    // tail per build, which is pure Amdahl loss at any cluster size.
+    val statsJob =
+      if (stageComplete(spark, dir, "stats")) None else Some(() => timedStage("stats") {
+        // derived from docmeta lineage; when stage 1 ran in-process the
+        // rows are already on the driver — no read-back job at all
+        val lin =
+          if (freshDocmetaLineage != null) freshDocmetaLineage
+          else spark.read.parquet(s"$dir/lineage/docmeta").as[LineageRow].collect().toSeq
+        val n = lin.map(_.rows).sum
+        val tot = lin.map(_.termCount).sum
+        // avgdl defined as sum/count in double — transliterated identically in
+        // the oracle SQL (DuckDB avg over ints computes the same).
+        val st = IndexStats(n, tot.toDouble / n.toDouble, tot, buildAvgdl)
+        Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
+        writeLineageRows(spark, dir, "stats",
+          java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
+      })
+    val termstatsJob =
+      if (stageComplete(spark, dir, "termstats")) None else Some(() => timedStage("termstats") {
+        // reads back only 3 pruned columns of the just-written postings
+        val acc = newLineageAcc(spark, "termstats")
+        val po = spark.read.parquet(s"$dir/postings")
+        po.groupBy($"term")
+          .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          .as[TermStat]
+          .mapPartitions(tally(acc, "termstats")(
+            _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
+            t => mix3(t.term.hashCode.toLong, t.df, 0L)))
+          .write.mode("overwrite").parquet(s"$dir/termstats")
+        writeLineageRows(spark, dir, "termstats", acc.value)
+      })
+    val tailJobs = Seq(statsJob, termstatsJob).flatten
+    if (tailJobs.size == 2) runConcurrently(tailJobs) else tailJobs.foreach(_())
 
     if (sharedIds != null) sharedIds.release()
     Handle(dir, mode)
@@ -702,12 +729,19 @@ object IndexBuilder {
     * against the actual table (SURVEY.md §7.4 item 5: never trust file
     * existence alone).
     */
+  /** Accumulator rows → one row per partition (task retries/speculation add
+    * identical duplicates — tallies are pure functions of a partition's
+    * data), sorted for determinism.
+    */
+  private[index] def dedupLineage(rows: java.util.List[LineageRow]): Seq[LineageRow] = {
+    import scala.jdk.CollectionConverters._
+    rows.asScala.groupBy(_.partitionId).map(_._2.head).toSeq.sortBy(_.partitionId)
+  }
+
   private[index] def writeLineageRows(spark: SparkSession, dir: String, stage: String,
                                rows: java.util.List[LineageRow]): Unit = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val dedup = rows.asScala.groupBy(_.partitionId).map(_._2.head).toSeq
-      .sortBy(_.partitionId)
+    val dedup = dedupLineage(rows)
     // One lineage directory per stage, overwritten on recompute — so a
     // retried stage never leaves stale lineage that would break validation.
     dedup.toDS().coalesce(1).write.mode("overwrite").parquet(s"$dir/lineage/$stage")

@@ -22,8 +22,23 @@ final case class DocMeta(docId: Long, repo: String, path: String, commit: String
   * `salt` is the docId-range bucket: hot-term skew handling — a single
   * Zipfian term's postings split across `S` contiguous docId ranges, so no
   * reducer ever owns a whole hot list (north rule / SURVEY.md §7.4 item 3).
+  * `meta` packs (dl << 32 | tf) into ONE long: UnsafeRow pads every
+  * fixed-width field to 8 bytes, so two int fields cost 16 shuffle bytes
+  * per row where the packed long costs 8 — the postings shuffle is the
+  * build's dominant exchange, and its row count is every distinct
+  * (term, doc) pair in the corpus.
   */
-final case class TermDoc(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
+final case class TermDoc(term: String, salt: Int, docId: Long, meta: Long) {
+  @inline def tf: Int = (meta & 0xffffffffL).toInt
+  @inline def dl: Int = (meta >>> 32).toInt
+}
+
+object TermDoc {
+  /** Column expression building the packed meta from int tf/dl columns. */
+  def packMeta(dl: org.apache.spark.sql.Column, tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.shiftleft(dl.cast("long"), 32)
+      .bitwiseOR(tf.cast("long"))
+}
 
 /** One compressed posting block: ≤ Codec.BlockSize postings of one
   * (term, salt), docIds delta+varint encoded against `firstDocId`, tf and dl

@@ -396,7 +396,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
     graft.index.Fs.touch(s"$out/_DONE") // marker LAST: half-writes invisible
     SparkSession.getActiveSession.foreach { s =>
+      // the commit changed ivfKey: drop entries under the old keys (the
+      // centroid values are unchanged, but stale keys would accumulate one
+      // dead entry per append)
       ivfEmbCache(s).keys.filter(_.startsWith(s"$dir|")).foreach(ivfEmbCache(s).remove)
+      ivfCentroidCache(s).keys.filter(_.startsWith(s"$dir|"))
+        .foreach(ivfCentroidCache(s).remove)
     }
   }
 

@@ -173,7 +173,8 @@ object StreamingIngest {
         () => withIds
           .select($"docId", $"salt", tokenStats.as("ts"))
           .select($"docId", $"salt", $"ts.dl".as("dl"), explode($"ts.tfs").as("tt"))
-          .select($"tt.term".as("term"), $"salt", $"docId", $"tt.tf".as("tf"), $"dl")
+          .select($"tt.term".as("term"), $"salt", $"docId",
+            graft.index.TermDoc.packMeta($"dl", $"tt.tf").as("meta"))
           .repartition(parts, $"term", $"salt")
           .sortWithinPartitions($"term", $"salt", $"docId")
           .as[graft.index.TermDoc]

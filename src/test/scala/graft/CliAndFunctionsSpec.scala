@@ -114,6 +114,37 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     Cli.run(spark, Seq("compact", idx)) // idempotent no-op path prints, no throw
   }
 
+  test("cli tombstone: --dedup enforces cluster verdicts; explicit id list; purged by compact") {
+    import spark.implicits._
+    // corpus with planted near-dups: docs 0/1 are a tight near-dup pair
+    val dir = tmpDir("graft-cli-tomb-src")
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq((0L, dup, "en", "web", dup.length), (1L, dup + " x", "en", "web", dup.length + 2),
+        (2L, "totally different content with other tokens entirely here now", "en", "web", 60))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = tmpDir("graft-cli-tomb-idx")
+    new java.io.File(idx).delete()
+    Cli.run(spark, Seq("export", dir, idx, "--salts", "2"))
+    val h = graft.index.IndexBuilder.openHandle(idx)
+    assert(graft.query.Searcher.termLookup(spark, h, "quick").count() == 2)
+    // dedup verdicts: doc 1 loses to keeper 0 → its index docId is tombstoned
+    Cli.run(spark, Seq("tombstone", idx, "--dedup", dir))
+    assert(h.snapshot.tombstoneDirs.nonEmpty)
+    assert(graft.query.Searcher.termLookup(spark, h, "quick").count() == 1)
+    // explicit docId-list form stacks a second delta
+    val dead2 = h.docmeta(spark).toDF()
+      .filter(element_at(split(col("path"), "/"), 2) === "2").select(col("docId"))
+    val idsP = tmpDir("graft-cli-tomb-ids")
+    dead2.write.mode("overwrite").parquet(s"$idsP/ids.parquet")
+    Cli.run(spark, Seq("tombstone", idx, s"$idsP/ids.parquet"))
+    assert(graft.query.Searcher.termLookup(spark, h, "tokens").count() == 0)
+    // compact purges: delete set resets, corpus shrinks to the keeper doc
+    Cli.run(spark, Seq("compact", idx))
+    val hc = graft.index.IndexBuilder.openHandle(idx)
+    assert(hc.snapshot.tombstoneDirs.isEmpty && hc.docmeta(spark).count() == 1)
+  }
+
   test("persisted analyzer_mode with an unknown name fails loudly on open") {
     val idx = tmpDir("graft-cli-badmode-idx")
     graft.index.Fs.writeString(s"$idx/analyzer_mode", "quantum-tokenizer")

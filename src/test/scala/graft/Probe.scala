@@ -83,6 +83,94 @@ object Probe {
             println(f"[scaleconf] $name%-22s 8c=${t8}%.0f 32c=${t32}%.0f docs/s eff_8_32=${t32 / t8 / 4.0}%.2f")
           }
         }
+      case "withids" =>
+        // A/B the shared-sort cache storage level (withDenseIds): columnar
+        // cache build is the worst 2→8 scaler in the stage decomposition
+        if (r == 1) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          def rmrf(p: String): Unit = {
+            val f = new java.io.File(p)
+            if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+            f.delete()
+          }
+          def build(cores: Int, level: String): Double = {
+            sys.props("graft.build.cacheLevel") = level
+            val s = SparkSession.builder()
+              .master(s"local[$cores]").appName(s"withids-$cores-$level")
+              .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.ui.enabled", "false")
+              .getOrCreate()
+            s.sparkContext.setLogLevel("ERROR")
+            try {
+              val dir = s"${sys.props("java.io.tmpdir")}/graft-withids"
+              def lap(n: Long): Double = {
+                rmrf(dir)
+                val t0 = System.nanoTime()
+                graft.index.IndexBuilder.build(s,
+                  graft.corpus.Corpus.synth(s, n, seed = 42L, parallelism = cores * 2),
+                  dir, graft.index.IndexBuilder.Config(salts = 8,
+                    partitions = cores * 2, mode = graft.analyze.Analyzer.Code))
+                n / ((System.nanoTime() - t0) / 1e9)
+              }
+              lap(150000) // warm
+              math.max(lap(600000), lap(600000))
+            } finally {
+              s.stop()
+              SparkSession.clearActiveSession()
+              SparkSession.clearDefaultSession()
+              sys.props.remove("graft.build.cacheLevel")
+              ()
+            }
+          }
+          for (level <- Seq("MEMORY_AND_DISK", "DISK_ONLY")) {
+            val t2 = build(2, level)
+            val t8 = build(8, level)
+            println(f"[withids] $level%-16s 2c=${t2}%.0f 8c=${t8}%.0f docs/s eff_2_8=${t8 / t2 / 4.0}%.3f")
+          }
+        }
+      case "stagetime" =>
+        // per-stage wall time of the Bench build at local[2] vs local[8]
+        // (GRAFT_TIMING breakdown): separates the fixed driver-side cost F
+        // (small single-task jobs, commit protocol) from the parallel work
+        // W — the 2→8 efficiency is (F + W/2) / (4(F + W/8)).
+        if (r == 1) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          sys.props("graft.timing") = "1"
+          def rmrf(p: String): Unit = {
+            val f = new java.io.File(p)
+            if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+            f.delete()
+          }
+          for (cores <- Seq(2, 8); lap <- 1 to 3) {
+            val s = SparkSession.builder()
+              .master(s"local[$cores]").appName(s"stagetime-$cores")
+              .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.ui.enabled", "false")
+              .getOrCreate()
+            s.sparkContext.setLogLevel("ERROR")
+            try {
+              val dir = s"${sys.props("java.io.tmpdir")}/graft-stagetime"
+              rmrf(dir)
+              val t0 = System.nanoTime()
+              graft.index.IndexBuilder.build(s,
+                graft.corpus.Corpus.synth(s, 600000, seed = 42L, parallelism = cores * 2),
+                dir, graft.index.IndexBuilder.Config(salts = 8,
+                  partitions = cores * 2, mode = graft.analyze.Analyzer.Code))
+              System.err.println(f"[stagetime] cores=$cores lap=$lap total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+            } finally {
+              s.stop()
+              SparkSession.clearActiveSession()
+              SparkSession.clearDefaultSession()
+            }
+          }
+          sys.props.remove("graft.timing")
+        }
       case "ingest" =>
         // steady-state micro-batch latency (the 1 s trigger budget): one
         // warm-up batch, then per-append wall time for 12 batches of 100
