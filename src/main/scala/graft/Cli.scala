@@ -153,15 +153,22 @@ object Cli {
           val losers = graft.ops.Dedup.dedupClusters(spark, srcDir)
             .filter(col("doc_id") =!= col("keeper")).select(col("doc_id"))
           // docmeta.path is "lang/doc_id" for documents-shaped corpora
-          // (FIXTURES.md §2) — resolve verdict doc_ids to index docIds
-          h.docmeta(spark).toDF()
+          // (FIXTURES.md §2) — resolve verdict doc_ids to index docIds over
+          // batch ∪ STREAMED docmeta (a loser ingested via streaming must
+          // be enforceable too, the primary delete-without-re-export case)
+          h.docmetaAll(spark).toDF()
             .select(col("docId"),
               element_at(split(col("path"), "/"), 2).cast("long").as("doc_id"))
             .join(losers, "doc_id")
             .select(col("docId"))
       }
       graft.index.Compactor.tombstone(spark, indexDir, dead)
-      val n = h.snapshot.tombstoneIds(spark).length
+      // count without collecting (the resident-set cap must not make a
+      // COMMITTED delete look failed, and 10M longs need not visit the
+      // driver to be counted)
+      val dirs = h.snapshot.tombstoneDirs
+      val n = spark.read.parquet(dirs.map(_ + "/ids"): _*)
+        .select(col("docId")).distinct().count()
       println(s"tombstoned; delete set now $n docId(s) — " +
         "hidden from queries immediately, purged at the next `compact`")
 

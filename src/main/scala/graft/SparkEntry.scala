@@ -96,6 +96,25 @@ object SparkEntry {
 
   private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
 
+  /** Brute-force cosine top-20 from vec 0 — the oracle shared by every
+    * exact-equivalent ANN entry (ann_cosine_topk, and the exhaustive-probe
+    * IVF identities ann_ivf_topk / ann_ivf_append_topk): one SQL string, so
+    * an arithmetic/quantization fix cannot make the ops silently disagree.
+    */
+  private val bruteCosineTopKSql =
+    """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |s AS (
+        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
+        |         (SELECT sum(v * v) FROM q) AS nq
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
+        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin
+
   /** Trigram tokens (Analyzer.Trigram(Simple) transliterated): char 3-grams
     * per token, whole token when length ≤ 3; constant series bound (40)
     * because DuckDB 1.0 lacks lateral generate_series.
@@ -660,46 +679,13 @@ object SparkEntry {
     // exhaustive-probe IVF ≡ brute-force cosine top-k (same arithmetic,
     // same quantization/ordering) — the oracle checks the full IVF pipeline
     "ann_ivf_topk" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id = 0),
-        |e AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id <> 0),
-        |s AS (
-        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
-        |         (SELECT sum(v * v) FROM q) AS nq
-        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
-        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
-        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
+      bruteCosineTopKSql,
     // append fixture probes exhaustively ⇒ brute-force arithmetic over the
     // full table (same oracle as ann_ivf_topk)
     "ann_ivf_append_topk" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id = 0),
-        |e AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id <> 0),
-        |s AS (
-        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
-        |         (SELECT sum(v * v) FROM q) AS nq
-        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
-        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
-        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
+      bruteCosineTopKSql,
     "ann_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id = 0),
-        |e AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id <> 0),
-        |s AS (
-        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
-        |         (SELECT sum(v * v) FROM q) AS nq
-        |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
-        |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
-        |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin,
+      bruteCosineTopKSql,
     "ann_cosine_pairs" ->
       """WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v

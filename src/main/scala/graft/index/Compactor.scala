@@ -115,6 +115,18 @@ object Compactor {
     onDisk.filter(d => Fs.name(d).startsWith("merged=") &&
         !Fs.exists(s"$d/_DONE") && now - Fs.mtime(d) > gcGraceMs)
       .foreach(Fs.delete)
+    // crashed tombstone deltas (same class as dead half-merges: _DONE-less,
+    // never visible; later commits mint fresh del-K names so nothing ever
+    // reuses these)
+    val root = st.epoch.map(e => s"$dir/$e").getOrElse(dir)
+    Fs.listDirs(s"$root/tombstones")
+      .filter(d => Fs.name(d).startsWith("del-") &&
+        !Fs.exists(s"$d/_DONE") && now - Fs.mtime(d) > gcGraceMs)
+      .foreach(Fs.delete)
+    // genesis delete set orphaned by an epoch flip that crashed before its
+    // gcDefer (once CURRENT points at an epoch, `$dir/tombstones` is dead)
+    if (st.epoch.nonEmpty && Fs.exists(s"$dir/tombstones") && !inGc("tombstones"))
+      gcDefer(dir, Seq("tombstones"))
   }
 
   // ---- maintenance mutual exclusion --------------------------------------
@@ -136,13 +148,46 @@ object Compactor {
       val at = Fs.mtime(p)
       if (at == 0L) Fs.tryCreateNew(p) // released between attempts: retry once
       else if (System.currentTimeMillis() - at > maintLockStaleMs) {
-        Fs.delete(p) // crashed holder: break the stale lock
-        Fs.tryCreateNew(p)
+        // crashed holder: break the stale lock — but only if the mtime is
+        // STILL the one we judged stale (a live contender may have broken
+        // and re-acquired between our stat and our delete; deleting ITS
+        // fresh lock would let two holders in). Not atomic, but narrows
+        // the race window from seconds to the stat-delete gap; live
+        // long-running holders are protected by refreshMaintLock
+        // heartbeats, so a genuinely stale mtime means a dead holder.
+        if (Fs.mtime(p) == at) {
+          Fs.delete(p)
+          Fs.tryCreateNew(p)
+        } else false
       } else false
     }
   }
 
+  /** Heartbeat: a long-running holder (a big fold) re-touches the lock at
+    * phase boundaries so its mtime never looks stale to the 1 s-cadence
+    * auto-merge while the work is alive.
+    */
+  private def refreshMaintLock(dir: String): Unit = Fs.touch(s"$dir/_MAINT")
+
   private def releaseMaintLock(dir: String): Unit = Fs.delete(s"$dir/_MAINT")
+
+  /** Acquire the maintenance lock (bounded wait) and run `body` under it.
+    * The two blocking maintenance entry points (compact, tombstone) share
+    * this; mergeSegments stays non-blocking (opportunistic skip).
+    */
+  private def withMaintLock[T](dir: String, what: String)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + maintLockWaitMs
+    var locked = tryMaintLock(dir)
+    while (!locked && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      locked = tryMaintLock(dir)
+    }
+    require(locked, s"another maintenance op holds $dir/_MAINT ($what would " +
+      "interleave with it — concurrent maintenance on one index dir can " +
+      "double-count docs)")
+    try body
+    finally releaseMaintLock(dir)
+  }
 
   /** MINOR compaction (the Lucene tiered-merge analog): concatenate all
     * live streamed segments into ONE consolidated segment — no re-rank, no
@@ -253,14 +298,7 @@ object Compactor {
   def tombstone(spark: SparkSession, dir: String,
                 docIds: org.apache.spark.sql.DataFrame): Handle = {
     import org.apache.spark.sql.functions.col
-    val deadline = System.currentTimeMillis() + maintLockWaitMs
-    var locked = tryMaintLock(dir)
-    while (!locked && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
-      locked = tryMaintLock(dir)
-    }
-    require(locked, s"another maintenance op holds $dir/_MAINT")
-    try {
+    withMaintLock(dir, "tombstone") {
       val st = Catalog.of(dir)
       val root = st.epoch.map(e => s"$dir/$e").getOrElse(dir)
       val k = Fs.listDirs(s"$root/tombstones").map(Fs.name)
@@ -274,7 +312,7 @@ object Compactor {
       Fs.touch(s"$out/_DONE") // marker LAST — a half-written delta is invisible
       Catalog.invalidate(dir)
       IndexBuilder.openHandle(dir)
-    } finally releaseMaintLock(dir)
+    }
   }
 
   /** How long `compact` waits for the maintenance lock before failing. An
@@ -285,20 +323,10 @@ object Compactor {
   def maintLockWaitMs: Long =
     sys.props.getOrElse("graft.maint.lock.wait.ms", "30000").toLong
 
-  def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle = {
-    import spark.implicits._
-    val deadline = System.currentTimeMillis() + maintLockWaitMs
-    var locked = tryMaintLock(dir)
-    while (!locked && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
-      locked = tryMaintLock(dir)
-    }
-    require(locked, s"another maintenance op holds $dir/_MAINT — " +
-      "concurrent compact/merge on one index dir would double-count docs")
-    try {
+  def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle =
+    withMaintLock(dir, "compact") {
       compactLocked(spark, dir, cfg)
-    } finally releaseMaintLock(dir)
-  }
+    }
 
   private def compactLocked(spark: SparkSession, dir: String, cfg: Config): Handle = {
     import spark.implicits._
@@ -339,6 +367,7 @@ object Compactor {
       Seq("repo", "path", "commit"), "docId")
     try {
       val n = assigned.n
+      refreshMaintLock(dir) // heartbeat: re-rank shuffle done, lock still live
       // the SAME deterministic sampled buildAvgdl a fresh build over the
       // union would compute (the sample is a pure function of the re-ranked
       // (docId, dl) pairs and the mean a long-sum/long-count) — this is what
@@ -419,6 +448,7 @@ object Compactor {
         }
 
       IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions))
+      refreshMaintLock(dir) // the folds can outlast the lock-staleness bound
 
       // ---- stats (docmeta lineage tallies) + termstats (pruned read-back
       // of the fresh postings) — independent of each other too ------------
@@ -445,6 +475,7 @@ object Compactor {
         IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
       }
       IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats))
+      refreshMaintLock(dir)
 
       // ---- commit: folded list + ONE atomic pointer flip ------------------
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")

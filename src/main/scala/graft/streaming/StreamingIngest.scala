@@ -181,7 +181,7 @@ object StreamingIngest {
           .mapPartitions(IndexBuilder.buildBlocks(_, avgdl))
           .mapPartitions(perPartitionTally[graft.index.PostingBlock,
               Map[String, (Long, Double)]](tsAcc, Map.empty) { (m, b) =>
-            require(m.size < maxTermsPerPartition,
+            require(m.contains(b.term) || m.size < maxTermsPerPartition,
               s"micro-batch distinct-term tally exceeded $maxTermsPerPartition " +
                 "terms in one partition — the per-batch vocabulary must fit on " +
                 "the driver; shrink the batch (maxFilesPerTrigger) or raise " +
