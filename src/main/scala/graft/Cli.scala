@@ -144,25 +144,29 @@ object Cli {
       // resolved through docmeta — the enforcement step after dedup).
       import org.apache.spark.sql.functions._
       val h = IndexBuilder.openHandle(indexDir)
+      // ONE snapshot: docIds are epoch-scoped, so the ids resolved here are
+      // committed with an expectRoot guard — if a peer compaction re-ranks
+      // the epoch while we wait for the maintenance lock, tombstone fails
+      // loudly instead of deleting re-ranked (wrong) documents
+      val snap = h.snapshot
       val dead: org.apache.spark.sql.DataFrame = opt(rest, "--dedup", "") match {
         case "" =>
           val idsPath = rest.filterNot(_.startsWith("--")).headOption.getOrElse(
             sys.error("usage: tombstone <indexDir> <docIdsParquet> | --dedup <srcDir>"))
           spark.read.parquet(idsPath)
         case srcDir =>
-          val losers = graft.ops.Dedup.dedupClusters(spark, srcDir)
-            .filter(col("doc_id") =!= col("keeper")).select(col("doc_id"))
           // docmeta.path is "lang/doc_id" for documents-shaped corpora
           // (FIXTURES.md §2) — resolve verdict doc_ids to index docIds over
           // batch ∪ STREAMED docmeta (a loser ingested via streaming must
           // be enforceable too, the primary delete-without-re-export case)
-          h.docmetaAll(spark).toDF()
+          snap.docmetaAll(spark).toDF()
             .select(col("docId"),
               element_at(split(col("path"), "/"), 2).cast("long").as("doc_id"))
-            .join(losers, "doc_id")
+            .join(graft.ops.Dedup.losers(spark, srcDir), "doc_id")
             .select(col("docId"))
       }
-      graft.index.Compactor.tombstone(spark, indexDir, dead)
+      graft.index.Compactor.tombstone(spark, indexDir, dead,
+        expectRoot = Some(snap.root))
       // count without collecting (the resident-set cap must not make a
       // COMMITTED delete look failed, and 10M longs need not visit the
       // driver to be counted)

@@ -141,52 +141,105 @@ object Compactor {
   def maintLockStaleMs: Long =
     sys.props.getOrElse("graft.maint.lock.stale.ms", "600000").toLong
 
-  private[graft] def tryMaintLock(dir: String): Boolean = {
+  // every holder in this JVM gets a unique token written INTO the lock
+  // file: refresh/release verify ownership before touching it, so a stolen
+  // lock is detected (the victim aborts) instead of silently clobbered,
+  // and a breaker can confirm it is deleting the same dead holder's lock
+  // it judged stale. File-based locking is inherently best-effort — at
+  // multi-writer production scale this is where a real lock service (ZK,
+  // a conditional-put on the metastore) slots in; the protocol here makes
+  // every failure LOUD rather than a silent double-commit.
+  private def newToken(): String =
+    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}|" +
+      s"${java.util.UUID.randomUUID()}"
+
+  private[graft] def tryMaintLock(dir: String): Option[String] = {
     val p = s"$dir/_MAINT"
-    if (Fs.tryCreateNew(p)) true
-    else {
+    def claim(): Option[String] = {
+      if (!Fs.tryCreateNew(p)) None
+      else {
+        val tok = newToken()
+        Fs.writeString(p, tok) // own file; stamps mtime + ownership
+        Some(tok)
+      }
+    }
+    claim().orElse {
       val at = Fs.mtime(p)
-      if (at == 0L) Fs.tryCreateNew(p) // released between attempts: retry once
+      if (at == 0L) claim() // released between attempts: retry once
       else if (System.currentTimeMillis() - at > maintLockStaleMs) {
-        // crashed holder: break the stale lock — but only if the mtime is
-        // STILL the one we judged stale (a live contender may have broken
-        // and re-acquired between our stat and our delete; deleting ITS
-        // fresh lock would let two holders in). Not atomic, but narrows
-        // the race window from seconds to the stat-delete gap; live
-        // long-running holders are protected by refreshMaintLock
-        // heartbeats, so a genuinely stale mtime means a dead holder.
-        if (Fs.mtime(p) == at) {
+        // crashed holder: break the stale lock — but only if BOTH mtime and
+        // token still match what we judged stale (a live contender may have
+        // broken and re-acquired in between; deleting ITS fresh lock would
+        // let two holders in). Live long-running holders never look stale:
+        // the heartbeat thread re-stamps the lock at staleMs/3 cadence.
+        val tok = Fs.readString(p)
+        if (Fs.mtime(p) == at && Fs.readString(p) == tok) {
           Fs.delete(p)
-          Fs.tryCreateNew(p)
-        } else false
-      } else false
+          claim()
+        } else None
+      } else None
     }
   }
 
-  /** Heartbeat: a long-running holder (a big fold) re-touches the lock at
-    * phase boundaries so its mtime never looks stale to the 1 s-cadence
-    * auto-merge while the work is alive.
+  /** Verified heartbeat/release: act only while the lock still carries OUR
+    * token; a lost lock throws (the op must abort — continuing after a
+    * steal is exactly the double-commit the lock exists to prevent).
     */
-  private def refreshMaintLock(dir: String): Unit = Fs.touch(s"$dir/_MAINT")
+  private def refreshMaintLock(dir: String, token: String): Unit = {
+    val p = s"$dir/_MAINT"
+    if (!Fs.readString(p).contains(token))
+      throw new IllegalStateException(
+        s"maintenance lock $p lost (broken as stale or clobbered) — aborting")
+    Fs.writeString(p, token) // re-stamp mtime, keep ownership
+  }
 
-  private def releaseMaintLock(dir: String): Unit = Fs.delete(s"$dir/_MAINT")
+  private def releaseMaintLock(dir: String, token: String): Unit = {
+    val p = s"$dir/_MAINT"
+    if (Fs.readString(p).contains(token)) Fs.delete(p)
+  }
 
-  /** Acquire the maintenance lock (bounded wait) and run `body` under it.
-    * The two blocking maintenance entry points (compact, tombstone) share
+  /** Acquire the maintenance lock (bounded wait) and run `body` under it,
+    * with a BACKGROUND heartbeat re-stamping the lock at staleMs/3 cadence
+    * for the whole duration — a fold phase of any length stays visibly
+    * alive, so the staleness breaker only ever fires on dead holders. The
+    * two blocking maintenance entry points (compact, tombstone) share
     * this; mergeSegments stays non-blocking (opportunistic skip).
     */
-  private def withMaintLock[T](dir: String, what: String)(body: => T): T = {
+  private def withMaintLock[T](dir: String, what: String)(body: String => T): T = {
     val deadline = System.currentTimeMillis() + maintLockWaitMs
-    var locked = tryMaintLock(dir)
-    while (!locked && System.currentTimeMillis() < deadline) {
+    var token = tryMaintLock(dir)
+    while (token.isEmpty && System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
-      locked = tryMaintLock(dir)
+      token = tryMaintLock(dir)
     }
-    require(locked, s"another maintenance op holds $dir/_MAINT ($what would " +
-      "interleave with it — concurrent maintenance on one index dir can " +
-      "double-count docs)")
-    try body
-    finally releaseMaintLock(dir)
+    require(token.nonEmpty, s"another maintenance op holds $dir/_MAINT ($what " +
+      "would interleave with it — concurrent maintenance on one index dir " +
+      "can double-count docs)")
+    val tok = token.get
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val beat = new Thread(() => {
+      val period = math.max(maintLockStaleMs / 3, 1000L)
+      while (!stop.get()) {
+        try refreshMaintLock(dir, tok)
+        catch { case t: Throwable => fail.set(t); stop.set(true) }
+        var slept = 0L
+        while (!stop.get() && slept < period) { Thread.sleep(100); slept += 100 }
+      }
+    }, s"graft-maint-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try {
+      val r = body(tok)
+      // a heartbeat that detected a steal means our commits are suspect —
+      // surface it even if the body happened to finish
+      if (fail.get() != null) throw fail.get()
+      r
+    } finally {
+      stop.set(true)
+      beat.join(2000)
+      releaseMaintLock(dir, tok)
+    }
   }
 
   /** MINOR compaction (the Lucene tiered-merge analog): concatenate all
@@ -209,7 +262,10 @@ object Compactor {
     val h = IndexBuilder.openHandle(dir)
     // opportunistic op riding the 1 s ingest cadence: if another maintenance
     // op holds the lock, skip — the next batch's merge check retries
-    if (!tryMaintLock(dir)) return h
+    val token = tryMaintLock(dir) match {
+      case None => return h
+      case Some(t) => t
+    }
     try {
       gcSweep(dir) // previously deferred dirs have had a full cycle of grace
       gcReconcile(dir)
@@ -266,7 +322,7 @@ object Compactor {
       // deferred cleanup; already invisible via `replaces` (see gcDefer)
       gcDefer(dir, segs.map(segRel))
       IndexBuilder.openHandle(dir)
-    } finally releaseMaintLock(dir)
+    } finally releaseMaintLock(dir, token)
   }
 
   /** Fold all live streamed segments into a new epoch. No-op (returns the
@@ -296,11 +352,20 @@ object Compactor {
     * call takes the maintenance lock, so it cannot interleave with one.
     */
   def tombstone(spark: SparkSession, dir: String,
-                docIds: org.apache.spark.sql.DataFrame): Handle = {
+                docIds: org.apache.spark.sql.DataFrame,
+                expectRoot: Option[String] = None): Handle = {
     import org.apache.spark.sql.functions.col
-    withMaintLock(dir, "tombstone") {
+    withMaintLock(dir, "tombstone") { _ =>
       val st = Catalog.of(dir)
       val root = st.epoch.map(e => s"$dir/$e").getOrElse(dir)
+      // docIds are EPOCH-SCOPED: a caller that resolved them from docmeta
+      // must pass the root it resolved against — if a peer's compaction
+      // re-ranked the ids while we waited for the lock, committing them
+      // would delete arbitrary WRONG documents. Fail loudly instead.
+      expectRoot.foreach(r => require(r == root,
+        s"index epoch changed while waiting for the lock ($r -> $root): " +
+          "docIds were resolved against a re-ranked epoch — re-resolve " +
+          "from the current docmeta and retry"))
       val k = Fs.listDirs(s"$root/tombstones").map(Fs.name)
         .flatMap(_.stripPrefix("del-").toLongOption)
         .foldLeft(0L)(math.max) + 1
@@ -324,7 +389,7 @@ object Compactor {
     sys.props.getOrElse("graft.maint.lock.wait.ms", "30000").toLong
 
   def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle =
-    withMaintLock(dir, "compact") {
+    withMaintLock(dir, "compact") { _ =>
       compactLocked(spark, dir, cfg)
     }
 
@@ -367,7 +432,10 @@ object Compactor {
       Seq("repo", "path", "commit"), "docId")
     try {
       val n = assigned.n
-      refreshMaintLock(dir) // heartbeat: re-rank shuffle done, lock still live
+      // a delete set covering EVERY doc would fold an n=0 epoch whose
+      // avgdl = 0/0 = NaN and poison all scoring — refuse loudly
+      require(n > 0, "compaction would produce an EMPTY index (every " +
+        "document tombstoned) — refusing; drop the index instead")
       // the SAME deterministic sampled buildAvgdl a fresh build over the
       // union would compute (the sample is a pure function of the re-ranked
       // (docId, dl) pairs and the mean a long-sum/long-count) — this is what
@@ -448,7 +516,6 @@ object Compactor {
         }
 
       IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions))
-      refreshMaintLock(dir) // the folds can outlast the lock-staleness bound
 
       // ---- stats (docmeta lineage tallies) + termstats (pruned read-back
       // of the fresh postings) — independent of each other too ------------
@@ -475,7 +542,6 @@ object Compactor {
         IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
       }
       IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats))
-      refreshMaintLock(dir)
 
       // ---- commit: folded list + ONE atomic pointer flip ------------------
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")

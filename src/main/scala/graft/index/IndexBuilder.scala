@@ -289,9 +289,10 @@ object IndexBuilder {
     * identical partitioning — ids are a pure function of the data
     * (§7.4 item 1).
     */
-  def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int): Assigned = {
+  def assignDocIds(spark: SparkSession, corpus: Dataset[CorpusDoc], partitions: Int,
+                   cacheLevel: Option[String] = None): Assigned = {
     val a = withDenseIds(spark, corpus.toDF(), partitions,
-      Seq("repo", "path", "commit"), "docId")
+      Seq("repo", "path", "commit"), "docId", cacheLevel)
     a.copy(df = a.df.select("docId", "repo", "path", "commit", "lang", "content"))
   }
 
@@ -303,7 +304,8 @@ object IndexBuilder {
     * union without touching content.
     */
   def withDenseIds(spark: SparkSession, input: DataFrame, partitions: Int,
-                   keys: Seq[String], idCol: String): Assigned = {
+                   keys: Seq[String], idCol: String,
+                   cacheLevel: Option[String] = None): Assigned = {
     import spark.implicits._
     val sorted = input
       .repartitionByRange(partitions, keys.map(col): _*)
@@ -317,7 +319,8 @@ object IndexBuilder {
       // (executor local disks; a transient build artifact should not
       // compete with execution memory). Overridable for diskless setups.
       .persist(org.apache.spark.storage.StorageLevel.fromString(
-        sys.props.getOrElse("graft.build.cacheLevel", "DISK_ONLY")))
+        cacheLevel.getOrElse(
+          sys.props.getOrElse("graft.build.cacheLevel", "DISK_ONLY"))))
     val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max + 1

@@ -305,15 +305,20 @@ object Dedup {
     * broadcasts it; the full corpus never shuffles. The index-level
     * counterpart is Compactor.tombstone (delete without re-export).
     */
-  def applyClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
-    val losers = dedupClusters(spark, sfDir, threshold)
-      .filter(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
+  def applyClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame =
     docs(spark, sfDir)
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(losers(spark, sfDir, threshold), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"))
       .orderBy(col("doc_id"))
-  }
+
+  /** The docs dedup says to DROP: every non-keeper of dedupClusters — the
+    * single definition both enforcement paths share (applyClusters's corpus
+    * anti-join and the CLI's index tombstoning).
+    */
+  def losers(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame =
+    dedupClusters(spark, sfDir, threshold)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
 
   // ---- SimHash ---------------------------------------------------------------
 

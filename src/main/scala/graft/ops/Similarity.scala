@@ -383,11 +383,15 @@ object Similarity {
     val centroids: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     val bc = spark.sparkContext.broadcast(centroids)
-    val k = graft.index.Fs.listDirs(dir).map(graft.index.Fs.name)
+    // reserve the delta name ATOMICALLY (claim file): two concurrent
+    // appends must never compute the same K and clobber each other's
+    // delta — the same name-reservation discipline as posting segments
+    var k = graft.index.Fs.listDirs(dir).map(graft.index.Fs.name)
       .flatMap(_.stripPrefix("append-").toLongOption)
       .foldLeft(0L)(math.max) + 1
+    while (!graft.index.Fs.tryCreateNew(f"$dir/append-$k%06d.claim")) k += 1
     val out = f"$dir/append-$k%06d"
-    graft.index.Fs.delete(out) // stale crashed attempt
+    graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
     newEmb.select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
       .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }

@@ -127,7 +127,12 @@ object StreamingIngest {
     // and compaction). Wide parallelism belongs to the batch build.
     val parts = math.min(spark.sessionState.conf.numShufflePartitions,
       sys.props.getOrElse("graft.ingest.partitions", "4").toInt)
-    val assigned = IndexBuilder.assignDocIds(spark, batch, parts)
+    // micro-batches stay ON-HEAP: the DISK_ONLY default that wins for the
+    // 600k-doc batch build (A/B in BENCH/BASELINE.md) would add per-batch
+    // disk round-trips to the latency-critical 1 s-trigger path for a cache
+    // of a few hundred rows
+    val assigned = IndexBuilder.assignDocIds(spark, batch, parts,
+      cacheLevel = Some("MEMORY_AND_DISK"))
     try {
       val cnt = assigned.n
       if (cnt == 0) return

@@ -335,7 +335,7 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     StreamingIngest.appendSegment(spark, all.slice(20, 30).toDS(), 0L, idx, avgdl, 2, 1L << 40)
     StreamingIngest.appendSegment(spark, all.slice(30, 40).toDS(), 1L, idx, avgdl, 2, 1L << 40)
     // a peer holds the lock: opportunistic merge must SKIP (segments stay)
-    assert(Compactor.tryMaintLock(idx))
+    assert(Compactor.tryMaintLock(idx).nonEmpty)
     assert(Compactor.mergeSegments(spark, idx).segmentDirs.size == 2)
     // ...and compact must fail loudly after its bounded wait
     sys.props("graft.maint.lock.wait.ms") = "300"
