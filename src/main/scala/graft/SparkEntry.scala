@@ -257,6 +257,35 @@ object SparkEntry {
           .orderBy(col("lang"))
       }
     },
+    // the reference's own composed request, exactly (postman :152-183:
+    // a `query` paired with `significant_terms` in ONE body): JLH-scored
+    // significant terms where the FOREGROUND is the docs matching the
+    // search and the background is the whole corpus — same arithmetic as
+    // agg_sig_terms, foreground swapped from a lang filter to query hits.
+    "ft_search_sigterms" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Searcher.searchAgg(s, h, "stream data") { hits =>
+        val hitIds = hits.select(
+          element_at(split(col("path"), "/"), 2).cast("long").as("doc_id")).distinct()
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val toks = docs.select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+          .filter(col("term") =!= "").distinct()
+        val flagged = toks.join(hitIds.withColumn("is_fg", lit(true)), Seq("doc_id"), "left")
+        val perTerm = flagged.groupBy(col("term")).agg(
+          count(lit(1)).cast("double").as("bg"),
+          count(when(col("is_fg"), 1)).cast("double").as("fg"))
+        val totals = docs.agg(count(lit(1)).cast("double").as("bg_total"))
+          .crossJoin(hitIds.agg(count(lit(1)).cast("double").as("fg_total")))
+        perTerm.filter(col("fg") > 0).crossJoin(broadcast(totals))
+          .withColumn("fgp", col("fg") / col("fg_total"))
+          .withColumn("bgp", col("bg") / col("bg_total"))
+          .withColumn("jlh", (col("fgp") - col("bgp")) * (col("fgp") / col("bgp")))
+          .select(col("term"), Engine.quantized(col("jlh") * 1000).as("jlh_q"))
+          .orderBy(desc("jlh_q"), col("term"))
+          .limit(10)
+      }
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
     // when the index has no positions; ft_phrase_positional is the
@@ -397,6 +426,24 @@ object SparkEntry {
       bm25Sql(Seq("merge", "spark"), conjunctive = false, docWhere = "doc_id % 7 <> 3"),
     // ...and so must the COMPACTED index (segments folded into one epoch)
     "ft_compacted_search" -> bm25Sql(Seq("batch", "merge"), conjunctive = false),
+    // the composed significant_terms: foreground = docs matching the query
+    // (the bm25 CTE), background = the corpus — same JLH arithmetic as the
+    // agg_sig_terms oracle with the foreground predicate swapped
+    "ft_search_sigterms" ->
+      s"""WITH sc AS (${bm25Sql(Seq("data", "stream"), conjunctive = false)}),
+         |$toksCte,
+         |dt AS (SELECT DISTINCT doc_id, term FROM t2),
+         |fgt AS (SELECT count(*)::DOUBLE AS v FROM sc),
+         |bgt AS (SELECT count(*)::DOUBLE AS v FROM documents),
+         |fg AS (SELECT dt.term, count(*)::DOUBLE AS fg
+         |       FROM dt JOIN sc ON dt.doc_id = sc.doc_id GROUP BY 1),
+         |bg AS (SELECT term, count(*)::DOUBLE AS bg FROM dt GROUP BY 1),
+         |j AS (SELECT fg.term,
+         |             (fg.fg / (SELECT v FROM fgt) - bg.bg / (SELECT v FROM bgt))
+         |             * ((fg.fg / (SELECT v FROM fgt)) / (bg.bg / (SELECT v FROM bgt))) AS jlh
+         |      FROM fg JOIN bg USING (term))
+         |SELECT term, ${q4("jlh * 1000")} AS jlh_q
+         |FROM j ORDER BY jlh_q DESC, term LIMIT 10""".stripMargin,
     // query + aggs composed: the bm25 CTE feeds a GROUP BY over doc meta
     // (lang from documents, dl = the token count the index stores)
     "ft_search_agg" ->
