@@ -224,13 +224,58 @@ object Cli {
 
     case "search" :: indexDir :: k :: rest =>
       val conj = flag(rest, "--and")
-      val terms = rest.filterNot(_.startsWith("--")).mkString(" ")
+      val after = opt(rest, "--after", "")
+      val terms = rest.filterNot(_.startsWith("--"))
+        .filterNot(_ == after).mkString(" ")
       // analyzer mode persisted by the build (analyzer_mode file) — a query
       // against a --mode code/trigram index tokenizes the same way the
       // index did
       val h = IndexBuilder.openHandle(indexDir)
-      Searcher.topK(spark, h, terms, k.toInt, conj).collect()
-        .foreach(hit => println(f"${hit.docId}%12d  ${hit.score}%.6f"))
+      if (after.isEmpty)
+        Searcher.topK(spark, h, terms, k.toInt, conj).collect()
+          .foreach(hit => println(f"${hit.docId}%12d  ${hit.score}%.6f"))
+      else {
+        // keyset pagination: --after <scoreQ>:<docId> = the cursor printed
+        // with the previous page (score_q is the 10⁻⁴-quantized score)
+        val Array(cs, cd) = after.split(':').map(_.toLong)
+        Searcher.searchAfter(spark, h, terms, cs, cd, k.toInt, conj).collect()
+          .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
+      }
+
+    case "ivf-compact" :: ivfDir :: rest =>
+      // the ANN epoch fold: retrain the coarse quantizer over base ∪
+      // appended deltas, rewrite the partitioned layout, consume the deltas
+      graft.ops.Similarity.ivfCompact(spark, ivfDir,
+        lists = opt(rest, "--lists", "0").toInt)
+      println(s"ivf compacted -> ${graft.ops.Similarity.ivfRoot(ivfDir)}")
+
+    case "decontaminate" :: corpusDir :: refDir :: rest =>
+      // benchmark decontamination: corpus docs near-duplicating any doc of
+      // the reference/eval set; --tombstone <indexDir> feeds the drop set
+      // straight into the index delete path (the same enforcement wiring as
+      // `tombstone --dedup`)
+      import org.apache.spark.sql.functions._
+      val t = opt(rest, "--threshold", "0.6").toDouble
+      val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+      val ref = spark.read.parquet(s"$refDir/documents.parquet")
+      val drop = graft.ops.Dedup.decontaminate(spark, corpus, ref, t)
+      opt(rest, "--tombstone", "") match {
+        case "" =>
+          val n = drop.count()
+          println(s"$n contaminated doc(s) in $corpusDir vs $refDir (j >= $t)")
+          drop.limit(20).collect().foreach(r => println(f"  ${r.getLong(0)}%12d"))
+        case indexDir =>
+          val snap = IndexBuilder.openHandle(indexDir).snapshot
+          val dead = snap.docmetaAll(spark).toDF()
+            .select(col("docId"),
+              element_at(split(col("path"), "/"), 2).cast("long").as("doc_id"))
+            .join(drop, "doc_id")
+            .select(col("docId"))
+          graft.index.Compactor.tombstone(spark, indexDir, dead,
+            expectRoot = Some(snap.root))
+          println(s"tombstoned contaminated docs in $indexDir — " +
+            "hidden immediately, purged at the next `compact`")
+      }
 
     case other =>
       System.err.println(
@@ -238,8 +283,9 @@ object Cli {
            |usage: create-index <dir> [--force] |
            |       export <src> <dir> [--mode m] [--positions] [--dry-run] [--verbose] |
            |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
-           |       compact <dir> | reconcile <dir> |
+           |       compact <dir> | reconcile <dir> | ivf-compact <ivfDir> [--lists n] |
            |       tombstone <dir> <docIdsParquet> | tombstone <dir> --dedup <srcDir> |
-           |       search <dir> <k> <terms...> [--and]""".stripMargin)
+           |       decontaminate <corpusDir> <refDir> [--threshold t] [--tombstone <indexDir>] |
+           |       search <dir> <k> <terms...> [--and] [--after scoreQ:docId]""".stripMargin)
   }
 }

@@ -152,13 +152,16 @@ object Engine {
     * `lang/doc_id` per the FIXTURES.md §2 corpus mapping); reads batch ∪
     * streamed docmeta so live-ingested hits resolve too.
     */
-  def hitsAsDocIds(spark: SparkSession, h: IndexBuilder.Handle, hits: DataFrame): DataFrame = {
+  def hitsAsDocIds(spark: SparkSession, h: IndexBuilder.Handle, hits: DataFrame,
+                   ranked: Boolean = true): DataFrame = {
     // No broadcast hint: hits ranges from top-k (tiny) to exhaustive (~all
     // docs); AQE picks broadcast vs shuffle join from runtime sizes.
+    // ranked = false skips the global merge sort — for consumers that apply
+    // their own TakeOrdered (search_after pages) or destroy order anyway.
     val dm = h.docmetaAll(spark).toDF()
-    hits.join(dm.select(col("docId"),
+    val mapped = hits.join(dm.select(col("docId"),
         element_at(split(col("path"), "/"), 2).cast("long").as("doc_id")), "docId")
       .select(col("doc_id"), quantized(col("score")).as("score_q"))
-      .orderBy(desc("score_q"), col("doc_id"))
+    if (ranked) mapped.orderBy(desc("score_q"), col("doc_id")) else mapped
   }
 }

@@ -286,6 +286,36 @@ object SparkEntry {
           .limit(10)
       }
     },
+    // keyset pagination over RANKED hits — the ES search_after analog
+    // (es/adapter.go:156-182 pages its readback exactly this way): page 1 =
+    // top-10 by (score_q desc, doc_id); its last row is the cursor; the
+    // entry returns PAGE 2 — the next 10 strictly after the cursor. The
+    // page-2 plan re-scans the query's postings ONCE with the cursor's
+    // score bound applied inside the per-salt collectors (docs above the
+    // cursor never emit), then TakeOrderedAndProject(10): per-partition
+    // top-k, no global sort, no top-2k re-run. One snapshot covers both
+    // pages (the ES point-in-time analog).
+    "ft_search_after" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val snap = h.snapshot
+      val q = "merge stream"
+      val page1 = Engine.hitsAsDocIds(s, h,
+        Searcher.topKSnap(s, snap, q, Int.MaxValue, ranked = false).toDF())
+        .limit(10).collect()
+      if (page1.length < 10)
+        s.range(0).select(col("id").as("doc_id"), col("id").as("score_q"))
+      else {
+        val cs = page1.last.getAs[Long]("score_q")
+        val cd = page1.last.getAs[Long]("doc_id")
+        Engine.hitsAsDocIds(s, h,
+            Searcher.topKSnap(s, snap, q, Int.MaxValue, ranked = false,
+              maxScoreQ = cs).toDF(), ranked = false)
+          .filter(col("score_q") < cs ||
+            (col("score_q") === cs && col("doc_id") > cd))
+          .orderBy(desc("score_q"), col("doc_id"))
+          .limit(10)
+      }
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
     // when the index has no positions; ft_phrase_positional is the
@@ -360,6 +390,16 @@ object SparkEntry {
     // connected-component keeper assignment over the verified pair set
     // (same recall=1 oracle contract as dedup_minhash_lsh above)
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // benchmark decontamination: corpus (doc_id % 3 != 0) vs an external
+    // reference/eval set (doc_id % 3 == 0) — cross-table MinHash bands +
+    // exact verify; same recall=1 oracle contract as dedup_minhash_lsh
+    // (planted near-dups straddle the split; OpsSpec pins the recall)
+    "dedup_decontaminate" -> { (s, d) =>
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+      Dedup.decontaminatePairs(s,
+        docsDf.filter(col("doc_id") % 3 =!= 0),
+        docsDf.filter(col("doc_id") % 3 === 0))
+    },
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // value-level oracle for the simhash ALGORITHM (md5 basis — the pair
     // queries above keep the faster seeded mixer and stay rows-only)
@@ -456,6 +496,17 @@ object SparkEntry {
          |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          |        JOIN dlt ON sc.doc_id = dlt.doc_id
          |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    // search_after page 2: the cursor is row 10 of the ranked list; page 2 =
+    // the next 10 strictly after the (score_q, doc_id) cursor tuple
+    "ft_search_after" ->
+      s"""WITH sc AS (${bm25Sql(Seq("merge", "stream"), conjunctive = false)}),
+         |cur AS (SELECT doc_id, score_q FROM sc
+         |        ORDER BY score_q DESC, doc_id LIMIT 1 OFFSET 9)
+         |SELECT s.doc_id AS doc_id, s.score_q AS score_q
+         |FROM sc s CROSS JOIN cur c
+         |WHERE s.score_q < c.score_q
+         |   OR (s.score_q = c.score_q AND s.doc_id > c.doc_id)
+         |ORDER BY s.score_q DESC, s.doc_id LIMIT 10""".stripMargin,
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q
@@ -685,6 +736,25 @@ object SparkEntry {
          |WHERE cl.doc_id IS NULL OR cl.keeper = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    // cross-corpus decontamination ground truth: exact Jaccard between the
+    // two splits' shingle sets (same recall=1 contract as dedup_minhash_lsh
+    // — the engine output is exact-verified LSH candidates, a subset of
+    // this equal to it while band recall = 1, which OpsSpec asserts)
+    "dedup_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |c AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+         |r AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+         |szc AS (SELECT doc_id, count(*)::DOUBLE AS n FROM c GROUP BY 1),
+         |szr AS (SELECT doc_id, count(*)::DOUBLE AS n FROM r GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_id AS doc_id, r.doc_id AS ref_id, count(*)::DOUBLE AS i
+         |  FROM c JOIN r ON c.sh = r.sh GROUP BY 1, 2)
+         |SELECT inter.doc_id AS doc_id, inter.ref_id AS ref_id,
+         |       CAST(floor(i / (sa.n + sb.n - i) * 10000 + 0.5) AS BIGINT) AS jacc_q
+         |FROM inter JOIN szc sa ON inter.doc_id = sa.doc_id
+         |           JOIN szr sb ON inter.ref_id = sb.doc_id
+         |WHERE i / (sa.n + sb.n - i) >= 0.6
+         |ORDER BY inter.doc_id, inter.ref_id""".stripMargin,
     // md5-based simhash, bit votes and all, transliterated: low-64 of
     // md5(term) as UBIGINT, tf-weighted ±votes per bit, sign → bit string
     "dedup_simhash_fp" ->

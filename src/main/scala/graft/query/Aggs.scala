@@ -152,7 +152,7 @@ object Aggs {
   def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val scanned = graft.SessionCache.cachedPlan(planCache(spark), "gapscan", sfDir,
-      graft.index.Fs.mtime(s"$sfDir/lineitem.parquet"))(
+      graft.index.Fs.sourceStamp(s"$sfDir/lineitem.parquet"))(
       gapScan(spark, sfDir).cache())
     val interior = scanned.filter(!col("sentinel"))
       .select(col("a").as("gap_start"), col("b").as("gap_end"))

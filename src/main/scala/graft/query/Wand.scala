@@ -145,15 +145,18 @@ object Wand {
     * degrades to exhaustive DAAT (threshold stays -inf) — the mode the
     * verify harness uses so membership is complete.
     *
-    * `liveDoc` is the delete filter (tombstones, Compactor.tombstone): a dead
-    * doc is scored but never inserted, so it cannot occupy a top-k slot —
-    * filtering AFTER top-k would under-fill k (a deleted doc's slot must go
-    * to the next-best live doc). Skipped inserts only keep the WAND
-    * threshold lower than it could be: strictly less pruning, never a
-    * wrong result (the Lucene liveDocs-inside-collector semantics).
+    * `keep(doc, score)` is the collector admission filter — tombstone
+    * liveness (Compactor.tombstone) and/or the search_after cursor's score
+    * bound (Searcher.searchAfter): a filtered doc is scored but never
+    * inserted, so it cannot occupy a top-k slot — filtering AFTER top-k
+    * would under-fill k (a deleted doc's slot must go to the next-best live
+    * doc). Skipped inserts only keep the WAND threshold lower than it could
+    * be: strictly less pruning, never a wrong result (the Lucene
+    * liveDocs-inside-collector semantics; ES applies search_after cursors at
+    * the same point).
     */
   def topKOr(scorers0: Array[TermScorer], k: Int,
-             liveDoc: Long => Boolean = _ => true): Array[(Long, Double)] = {
+             keep: (Long, Double) => Boolean = (_, _) => true): Array[(Long, Double)] = {
     var live = scorers0.filter(!_.exhausted)
     val top = new TopK(k)
     while (live.nonEmpty) {
@@ -183,7 +186,7 @@ object Wand {
         }
         if (bub >= th) {
           val s = scoreDoc(pivotDoc, live)
-          if (liveDoc(pivotDoc)) top.insert(s, pivotDoc)
+          if (keep(pivotDoc, s)) top.insert(s, pivotDoc)
           var y = 0
           while (y < live.length) {
             if (live(y).curDoc == pivotDoc) live(y).next()

@@ -352,6 +352,45 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     assert(!lock.exists, "lock must be released when the op completes")
   }
 
+  test("a lock stolen mid-body aborts the op BEFORE its commit artifact exists") {
+    import spark.implicits._
+    val idx = tmpDir("graft-steal-idx")
+    val all = (0 until 40).map(i => Corpus.synthDoc(i, 61L))
+    val h = IndexBuilder.build(spark, all.take(30).toDS(), idx, IndexBuilder.Config(salts = 2))
+    val avgdl = h.stats(spark).avgdl
+    StreamingIngest.appendSegment(spark, all.drop(30).toDS(), 0L, idx, avgdl, 2, 1L << 40)
+    def steal(label: String)(op: => Unit): Unit = {
+      Compactor.beforeCommitHook = l =>
+        if (l == label) graft.index.Fs.writeString(s"$idx/_MAINT", "thief")
+      try {
+        val ex = intercept[IllegalStateException](op)
+        assert(ex.getMessage.contains("lost"))
+      } finally {
+        Compactor.beforeCommitHook = _ => ()
+        graft.index.Fs.delete(s"$idx/_MAINT") // evict the thief for the next phase
+      }
+    }
+    // compact: the CURRENT flip must not have happened — the epoch pointer
+    // (the commit artifact) must not exist and queries still see genesis+segment
+    steal("compact") { Compactor.compact(spark, idx) }
+    assert(!graft.index.Fs.exists(s"$idx/CURRENT"),
+      "stolen-lock compact must abort BEFORE the CURRENT flip")
+    assert(IndexBuilder.openHandle(idx).segmentDirs.size == 1)
+    // tombstone: no committed (_DONE'd) delete delta may exist
+    steal("tombstone") {
+      Compactor.tombstone(spark, idx, Seq(0L).toDF("docId"))
+    }
+    assert(IndexBuilder.openHandle(idx).snapshot.tombstoneDirs.isEmpty,
+      "stolen-lock tombstone must abort BEFORE its _DONE marker")
+    // merge: no committed merged=* segment may be visible
+    steal("merge") { Compactor.mergeSegments(spark, idx, minSegments = 1) }
+    assert(!IndexBuilder.openHandle(idx).segmentDirs.exists(
+      d => graft.index.Fs.name(d).startsWith("merged=")),
+      "stolen-lock merge must abort BEFORE its _DONE marker")
+    // after the steals, the index is fully operational
+    assert(Compactor.compact(spark, idx).segmentDirs.isEmpty)
+  }
+
   test("gc reconcile sweeps crash-leaked dirs (hidden-but-undeferred segments, dead half-merges)") {
     import spark.implicits._
     val idx = tmpDir("graft-gcrec-idx")

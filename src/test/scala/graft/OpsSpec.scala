@@ -213,6 +213,127 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
       "minhashLshPairs verified against the stale cached shingle table")
   }
 
+  test("decontamination: cross-corpus LSH+verify pairs == exact cross Jaccard (recall 1)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (0 until math.max(ws.length - 2, 0))
+        .map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2)).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val corpusIds = docs.map(_._1).filter(_ % 3 != 0)
+    val refIds = docs.map(_._1).filter(_ % 3 == 0)
+    val want = (for {
+      a <- corpusIds; b <- refIds
+      i = (sh(a) & sh(b)).size.toDouble if i > 0
+      j = i / (sh(a).size + sh(b).size - i) if j >= 0.6
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must contain planted cross-split near-dups")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = graft.ops.Dedup.decontaminatePairs(spark,
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed: ${want -- got}, extra: ${got -- want}")
+    // the drop set is exactly the contaminated corpus docs
+    val drop = graft.ops.Dedup.decontaminate(spark,
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(drop == want.map(_._1))
+  }
+
+  test("ivfCompact: fold over base ∪ appends ≡ fresh buildIvf over the union; GC consumes deltas+claims") {
+    import spark.implicits._
+    val old = sys.props.put("graft.gc.grace.ms", "0")
+    try {
+      val dir = tmpDir("graft-ivffold")
+      Similarity.synthEmbeddings(spark, dir, 2000L, 32, centers = 50)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = s"$dir/ivf"
+      Similarity.buildIvfFrom(spark, e.filter(col("vec_id") % 4 =!= 0), ivf, 16)
+      Similarity.ivfAppend(spark, ivf, e.filter(col("vec_id") % 4 === 0))
+      assert(graft.index.Fs.exists(s"$ivf/append-000001.claim"))
+      Similarity.ivfCompact(spark, ivf)
+      assert(graft.index.Fs.readString(s"$ivf/CURRENT").map(_.trim)
+        .contains("epoch-000001"))
+      // the fold equals a fresh build over the union corpus — deterministic
+      // init + hash-sampled Lloyd are pure functions of the row SET, so
+      // centroids and every assignment must be identical
+      val fresh = s"$dir/ivf-fresh"
+      Similarity.buildIvfFrom(spark, e, fresh, 16)
+      def centroids(root: String) = spark.read.parquet(s"$root/centroids")
+        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2.toSeq).toSeq
+      assert(centroids(s"$ivf/epoch-000001") == centroids(fresh))
+      def assigned(root: String) = spark.read.parquet(s"$root/emb")
+        .select(col("vec_id"), col("list_id")).as[(Long, Int)].collect().sorted.toSeq
+      assert(assigned(s"$ivf/epoch-000001") == assigned(fresh))
+      // queries through the folded dir: exhaustive probe == brute force
+      val q = e.filter(col("vec_id") === 0L).select(col("embedding"))
+        .as[Array[Float]].head()
+      val brute = Similarity.cosineTopK(spark, dir, 0L, 20).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(Similarity.ivfProbe(spark, ivf, q, 0L, 20, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == brute)
+      // consumed genesis tables, deltas and claim files are GC'd by the
+      // next maintenance call (grace = 0 here); appending a NEW vector
+      // mints work so the second fold runs
+      Similarity.ivfAppend(spark, ivf,
+        Seq((50000L, Array.fill(32)(0.25f), 0)).toDF("vec_id", "embedding", "label"))
+      Similarity.ivfCompact(spark, ivf)
+      assert(!graft.index.Fs.exists(s"$ivf/emb"), "genesis emb must be GC'd")
+      assert(!graft.index.Fs.exists(s"$ivf/centroids"))
+      assert(!graft.index.Fs.exists(s"$ivf/append-000001"))
+      assert(!graft.index.Fs.exists(s"$ivf/append-000001.claim"),
+        "claim files must be GC'd with their consumed deltas")
+      // fold-of-fold: second epoch holds the union exactly once, and the
+      // exhaustive probe equals a driver-computed exact top-20 over it
+      assert(graft.index.Fs.readString(s"$ivf/CURRENT").map(_.trim)
+        .contains("epoch-000002"))
+      val stored = spark.read.parquet(s"$ivf/epoch-000002/emb")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      assert(stored.length == 2001 && stored.map(_._1).distinct.length == 2001)
+      val want2 = stored.filter(_._1 != 0L)
+        .map { case (id, v) =>
+          (id, math.floor(Similarity.cosine(q, v) * 10000 + 0.5).toLong)
+        }
+        .sortBy { case (id, cq) => (-cq, id) }.take(20).toSeq
+      assert(Similarity.ivfProbe(spark, ivf, q, 0L, 20, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want2)
+    } finally {
+      old match {
+        case Some(v) => sys.props.put("graft.gc.grace.ms", v)
+        case None => sys.props.remove("graft.gc.grace.ms")
+      }
+    }
+  }
+
+  test("ANN artifact dirs are source-stamped: delete+rewrite of embeddings.parquet rebuilds") {
+    import spark.implicits._
+    val dir = tmpDir("graft-annstale")
+    Similarity.synthEmbeddings(spark, dir, 500L, 16, centers = 10)
+    val first = Similarity.ivfTopK(spark, dir, 0L, 10, lists = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first == Similarity.cosineTopK(spark, dir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // rewrite the source under the SAME path with different content — the
+    // stamped dir name forces a rebuild; serving the old IVF layout would
+    // return vectors that no longer exist
+    Similarity.synthEmbeddings(spark, dir, 400L, 16, seed = 99L, centers = 7)
+    val second = Similarity.ivfTopK(spark, dir, 0L, 10, lists = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(second == Similarity.cosineTopK(spark, dir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "stale IVF index served after a source rewrite")
+    assert(first != second)
+    // same discipline for the LSH bucket table
+    assert(Similarity.lshTopK(spark, dir, 0L, 10, tables = 8, planes = 6)
+      .collect().map(_.getLong(0)).toSet
+      .subsetOf(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id")).as[Long].collect().toSet))
+  }
+
   test("multimodal extract consistent with column-only metadata + deterministic") {
     val meta = Multimodal.metaColumns(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
