@@ -231,10 +231,16 @@ object Cli {
       // against a --mode code/trigram index tokenizes the same way the
       // index did
       val h = IndexBuilder.openHandle(indexDir)
-      if (after.isEmpty)
-        Searcher.topK(spark, h, terms, k.toInt, conj).collect()
-          .foreach(hit => println(f"${hit.docId}%12d  ${hit.score}%.6f"))
-      else {
+      if (after.isEmpty) {
+        // page 1 prints score_q (the cursor's score space) so the last
+        // line can be fed straight back as --after — a 6-decimal float
+        // print cannot be reliably re-quantized at boundary values
+        val hits = Searcher.topK(spark, h, terms, k.toInt, conj).collect()
+        hits.foreach(hit => println(
+          f"${hit.docId}%12d  ${hit.score}%.6f  score_q=${Searcher.quantize(hit.score)}%d"))
+        hits.lastOption.foreach(hit => println(
+          s"next page: --after ${Searcher.quantize(hit.score)}:${hit.docId}"))
+      } else {
         // keyset pagination: --after <scoreQ>:<docId> = the cursor printed
         // with the previous page (score_q is the 10⁻⁴-quantized score)
         val Array(cs, cd) = after.split(':').map(_.toLong)

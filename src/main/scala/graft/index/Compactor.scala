@@ -207,7 +207,7 @@ object Compactor {
     * landed). One cheap read immediately before every irreversible marker:
     * the CURRENT flip, mergeSegments' `_DONE`, tombstone's `_DONE`.
     */
-  private def verifyOwnedThen(dir: String, token: String, label: String)(
+  private[graft] def verifyOwnedThen(dir: String, token: String, label: String)(
       commit: => Unit): Unit = {
     beforeCommitHook(label)
     refreshMaintLock(dir, token)

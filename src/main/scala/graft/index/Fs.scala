@@ -127,12 +127,19 @@ object Fs {
     * aside is atomic, so of two concurrent breakers exactly one wins — the
     * loser's rename fails because the source is gone (a delete-based break
     * is check-then-act: the slower breaker can delete the winner's freshly
-    * claimed lock and let two maintenance ops run).
+    * claimed lock and let two maintenance ops run). Routed through
+    * FileContext WITHOUT the OVERWRITE option so an existing destination
+    * fails: FileSystem.rename on the local filesystem maps to POSIX
+    * rename(2), which silently REPLACES the destination — exactly what the
+    * lock put-back path must never do to a freshly claimed lock.
     */
   def tryRename(src: String, dst: String): Boolean = {
-    val (fs, s) = fsOf(src)
-    try fs.rename(s, new Path(dst))
-    catch { case _: java.io.IOException => false }
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(src).toUri, conf)
+      fc.rename(new Path(src), new Path(dst))
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
   /** Last path component (works for both `file:/x/y` and `/x/y`). */

@@ -365,23 +365,42 @@ object Dedup {
   def decontaminatePairs(spark: SparkSession, corpus: DataFrame, ref: DataFrame,
                          threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
-    val cands = bandBuckets(spark, corpus).as("x")
+    // materialize the signature+band-join pipeline ONCE (it is the
+    // dominant cost; collecting each side's id set from the lazy plan
+    // would re-run both corpora's MinHash maps per collect) — the same
+    // checkpoint-then-probe shape as dedupClusters
+    val candsCp = bandBuckets(spark, corpus).as("x")
       .join(bandBuckets(spark, ref).as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
       .distinct()
+      .localCheckpoint(true)
     // adaptive coordinator step (the minhashLshPairs pattern): the
-    // candidate doc sets are LSH's output — normally driver-small; inline
-    // them as IN filters, else fall back to distributed semi-joins
+    // candidate pair set is LSH's output — normally driver-small; ONE
+    // collect yields both sides' id sets as IN filters, else fall back to
+    // distributed semi-joins against the checkpoint
     val maxDriverCands = 100000
-    def restrict(side: DataFrame, ids: DataFrame): DataFrame = {
-      val probed: Array[Long] = ids.limit(maxDriverCands + 1).as[Long].collect().sorted
-      if (probed.length <= maxDriverCands) side.filter(col("doc_id").isin(probed: _*))
-      else side.join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val probed = candsCp.limit(maxDriverCands + 1).as[(Long, Long)].collect()
+    if (probed.isEmpty) {
+      candsCp.unpersist(blocking = false)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("ref_id"), col("id").as("jacc_q"))
     }
-    val shC = restrict(localShingles(spark, corpus), cands.select(col("doc_id")).distinct())
-    val shR = restrict(localShingles(spark, ref), cands.select(col("ref_id")).distinct())
-      .withColumnRenamed("doc_id", "ref_id")
+    val (shC, shR) =
+      if (probed.length <= maxDriverCands) {
+        candsCp.unpersist(blocking = false)
+        val cIds = probed.map(_._1).distinct.sorted
+        val rIds = probed.map(_._2).distinct.sorted
+        (localShingles(spark, corpus).filter(col("doc_id").isin(cIds: _*)),
+          localShingles(spark, ref).filter(col("doc_id").isin(rIds: _*))
+            .withColumnRenamed("doc_id", "ref_id"))
+      } else
+        (localShingles(spark, corpus)
+          .join(candsCp.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"),
+          localShingles(spark, ref)
+            .join(candsCp.select(col("ref_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi")
+            .withColumnRenamed("doc_id", "ref_id"))
     val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("na"))
     val szR = shR.groupBy(col("ref_id")).agg(count(lit(1)).cast("double").as("nb"))
     // exact verify = every candidate-doc cross pair sharing a shingle — a

@@ -310,13 +310,20 @@ object Similarity {
     graft.index.Fs.readString(s"$dir/CURRENT")
       .map(e => s"$dir/${e.trim}").getOrElse(dir)
 
-  /** Evict every cached centroid/FileIndex entry derived from `dir`
-    * (keys are root-based and every root starts with `dir`).
+  /** True iff a root-based cache key belongs to THIS index dir: the key is
+    * `root|…` where root is `dir` itself (genesis) or `dir/epoch-K`.
+    * A bare startsWith(dir) would also match sibling dirs sharing the path
+    * prefix (e.g. the `-appendfx` fixture next to its base) and thrash
+    * their live caches.
     */
+  private def keyOfDir(dir: String)(key: String): Boolean =
+    key.startsWith(s"$dir|") || key.startsWith(s"$dir/")
+
+  /** Evict every cached centroid/FileIndex entry derived from `dir`. */
   private def evictIvfCaches(dir: String): Unit =
     SparkSession.getActiveSession.foreach { s =>
-      ivfCentroidCache(s).keys.filter(_.startsWith(dir)).foreach(ivfCentroidCache(s).remove)
-      ivfEmbCache(s).keys.filter(_.startsWith(dir)).foreach(ivfEmbCache(s).remove)
+      ivfCentroidCache(s).keys.filter(keyOfDir(dir)).foreach(ivfCentroidCache(s).remove)
+      ivfEmbCache(s).keys.filter(keyOfDir(dir)).foreach(ivfEmbCache(s).remove)
     }
 
   /** Build (or resume) an IVF index: k-means-style coarse quantizer
@@ -384,26 +391,30 @@ object Similarity {
     dir
   }
 
-  /** Completed append deltas under the CURRENT root (ivfAppend). */
-  private def ivfAppendDirs(dir: String): Seq[String] = {
-    val root = ivfRoot(dir)
+  /** Completed append deltas under an explicit root. Read paths resolve
+    * the root ONCE per operation and pin it (the one-Catalog.State-per-op
+    * discipline Searcher follows): re-resolving per sub-read would let a
+    * concurrent fold's CURRENT flip pair one epoch's centroids with
+    * another epoch's partitioned layout mid-probe.
+    */
+  private def ivfAppendDirsAt(root: String): Seq[String] =
     graft.index.Fs.listDirs(root)
       .filter(d => graft.index.Fs.name(d).startsWith("append-") &&
         graft.index.Fs.exists(s"$d/_DONE"))
-  }
 
-  /** Cache key carrying the live fingerprint: the CURRENT root (an
-    * ivfCompact flips it), its _DONE mtime (changes on every rebuild) and
-    * the append-delta list (grows with each ivfAppend) — a cached DataFrame
-    * can never outlive the files it indexes, miss a committed append, or
-    * survive an epoch fold (ADVICE r2: the dir-only key served deleted
-    * files after a delete+rebuild in one session).
+  private def ivfAppendDirs(dir: String): Seq[String] =
+    ivfAppendDirsAt(ivfRoot(dir))
+
+  /** Cache key carrying the live fingerprint: the pinned root (an
+    * ivfCompact flips CURRENT), its _DONE mtime (changes on every rebuild)
+    * and the append-delta list (grows with each ivfAppend) — a cached
+    * DataFrame can never outlive the files it indexes, miss a committed
+    * append, or survive an epoch fold (ADVICE r2: the dir-only key served
+    * deleted files after a delete+rebuild in one session).
     */
-  private def ivfKey(dir: String): String = {
-    val root = ivfRoot(dir)
+  private def ivfKeyAt(root: String): String =
     s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}" +
-      s"|${ivfAppendDirs(dir).map(graft.index.Fs.name).sorted.mkString(",")}"
-  }
+      s"|${ivfAppendDirsAt(root).map(graft.index.Fs.name).sorted.mkString(",")}"
 
   /** INCREMENTAL IVF (VERDICT r3 missing-item 2: ANN was the one subsystem
     * without a continuous-ingest story): assign a NEW embedding batch to
@@ -426,7 +437,7 @@ object Similarity {
     // under the new one (partition pruning would probe the WRONG lists).
     // Appends are occasional batch commits (not the 1 s posting cadence),
     // so lock acquisition cost is irrelevant.
-    graft.index.Compactor.withMaintLock(dir, "ivf-append") { _ =>
+    graft.index.Compactor.withMaintLock(dir, "ivf-append") { tok =>
       val root = ivfRoot(dir)
       require(graft.index.Fs.exists(s"$root/_DONE"),
         s"no IVF index at $dir — buildIvf first")
@@ -449,10 +460,15 @@ object Similarity {
         .toDF("vec_id", "embedding", "label", "list_id")
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
-      graft.index.Fs.touch(s"$out/_DONE") // marker LAST: half-writes invisible
-      // the commit changed ivfKey: drop entries under the old keys (the
-      // centroid values are unchanged, but stale keys would accumulate one
-      // dead entry per append)
+      // marker LAST: half-writes invisible; ownership re-verified at the
+      // commit instant (same discipline as Compactor's commit points — the
+      // heartbeat alone could detect a steal only AFTER the marker landed)
+      graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-append") {
+        graft.index.Fs.touch(s"$out/_DONE")
+      }
+      // the commit changed the cache fingerprint: drop entries under the
+      // old keys (the centroid values are unchanged, but stale keys would
+      // accumulate one dead entry per append)
       evictIvfCaches(dir)
     }
   }
@@ -481,21 +497,13 @@ object Similarity {
   def ivfCompact(spark: SparkSession, dir: String, lists: Int = 0,
                  iters: Int = 2): Unit = {
     import spark.implicits._
-    graft.index.Compactor.withMaintLock(dir, "ivf-compact") { _ =>
+    graft.index.Compactor.withMaintLock(dir, "ivf-compact") { tok =>
       graft.index.Compactor.gcSweep(dir) // previous fold's deferred deletes
-      // sweep crashed, _DONE-less append attempts older than the grace
-      // period, plus orphaned claim files with no surviving delta (the
-      // gcReconcile analog) — under the lock, none can be in flight
       val root = ivfRoot(dir)
       require(graft.index.Fs.exists(s"$root/_DONE"),
         s"no IVF index at $dir — buildIvf first")
-      val now = System.currentTimeMillis()
-      graft.index.Fs.listDirs(root)
-        .filter(d => graft.index.Fs.name(d).startsWith("append-") &&
-          !graft.index.Fs.exists(s"$d/_DONE") &&
-          now - graft.index.Fs.mtime(d) > graft.index.Compactor.gcGraceMs)
-        .foreach(graft.index.Fs.delete)
-      val appends = ivfAppendDirs(dir)
+      ivfGcReconcile(dir, root)
+      val appends = ivfAppendDirsAt(root)
       if (appends.nonEmpty) {
         val nLists =
           if (lists > 0) lists
@@ -506,9 +514,12 @@ object Similarity {
         val newRoot = s"$dir/$newEpoch"
         graft.index.Fs.delete(newRoot) // crashed prior attempt
         buildIvfFrom(spark,
-          ivfEmb(spark, dir).select(col("vec_id"), col("embedding"), col("label")),
+          ivfEmbAt(spark, root).select(col("vec_id"), col("embedding"), col("label")),
           newRoot, nLists, iters)
-        graft.index.Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
+        // ownership re-verified at the commit instant (Compactor discipline)
+        graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-compact") {
+          graft.index.Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
+        }
         // defer the now-dead artifacts: the whole old epoch dir, or — for
         // the genesis root — its tables + consumed deltas + claim files
         // (all direct children of `dir`, so the ledger's dir-relative
@@ -524,12 +535,58 @@ object Similarity {
     }
   }
 
-  /** Base ∪ completed append deltas — each its own partitioned scan (probe
-    * filters push through the union, so pruning holds per delta).
+  /** The IVF crash-window reconciler (mirrors Compactor.gcReconcile; runs
+    * under the maintenance lock, so nothing here can be in flight):
+    *  - artifacts a CURRENT flip made invisible but whose gcDefer never ran
+    *    (crash between the flip and the defer) are re-recorded in the
+    *    ledger — genesis tables + their deltas/claims, and epoch dirs below
+    *    the current one;
+    *  - crashed `_DONE`-less append attempts older than the grace period
+    *    are deleted outright (never visible; later appends mint fresh K);
+    *  - orphaned `.claim` files whose delta dir no longer exists (crashed
+    *    before any write, or delta swept above) age out the same way.
     */
-  private def ivfEmb(spark: SparkSession, dir: String): DataFrame =
-    ivfAppendDirs(dir).map(a => spark.read.parquet(s"$a/emb"))
-      .foldLeft(spark.read.parquet(s"${ivfRoot(dir)}/emb"))(_ unionByName _)
+  private def ivfGcReconcile(dir: String, root: String): Unit = {
+    val Fs = graft.index.Fs
+    val inGc: Set[String] = Fs.readString(s"$dir/_gc").toSeq
+      .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty))
+      .map(_.split('|').head).toSet
+    val defers = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (root != dir) {
+      if (Fs.exists(s"$dir/emb") && !inGc("emb")) {
+        defers ++= Seq("emb", "centroids")
+        defers ++= Fs.listDirs(dir).map(Fs.name)
+          .filter(n => n.startsWith("append-") && !inGc(n))
+        defers ++= Fs.listFiles(dir).map(Fs.name)
+          .filter(n => n.endsWith(".claim") && !inGc(n))
+      }
+      val cur = Fs.name(root).stripPrefix("epoch-").toInt
+      defers ++= Fs.listDirs(dir).map(Fs.name)
+        .filter(n => n.startsWith("epoch-") &&
+          n.stripPrefix("epoch-").forall(_.isDigit) &&
+          n.stripPrefix("epoch-").toInt < cur && !inGc(n))
+    }
+    if (defers.nonEmpty) graft.index.Compactor.gcDefer(dir, defers.distinct.toSeq)
+    val now = System.currentTimeMillis()
+    Fs.listDirs(root)
+      .filter(d => Fs.name(d).startsWith("append-") &&
+        !Fs.exists(s"$d/_DONE") &&
+        now - Fs.mtime(d) > graft.index.Compactor.gcGraceMs)
+      .foreach(Fs.delete)
+    Fs.listFiles(root).filter(_.endsWith(".claim")).foreach { c =>
+      if (!Fs.exists(c.stripSuffix(".claim")) &&
+          now - Fs.mtime(c) > graft.index.Compactor.gcGraceMs)
+        Fs.delete(c)
+    }
+  }
+
+  /** Base ∪ completed append deltas under a PINNED root — each its own
+    * partitioned scan (probe filters push through the union, so pruning
+    * holds per delta).
+    */
+  private def ivfEmbAt(spark: SparkSession, root: String): DataFrame =
+    ivfAppendDirsAt(root).map(a => spark.read.parquet(s"$a/emb"))
+      .foldLeft(spark.read.parquet(s"$root/emb"))(_ unionByName _)
 
   /** Mean vector of a group, accumulated in ascending-vec_id order — double
     * summation order is pinned BY CONSTRUCTION, so centroids are identical
@@ -602,12 +659,16 @@ object Similarity {
   def ivfProbe(spark: SparkSession, dir: String, q: Array[Float], excludeId: Long,
                k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val key = ivfKey(dir)
+    // ONE root resolution for the whole probe (key, centroids, emb): a
+    // concurrent fold's CURRENT flip mid-probe must not pair one epoch's
+    // centroids with another epoch's list_id layout
+    val root = ivfRoot(dir)
+    val key = ivfKeyAt(root)
     val cc = ivfCentroidCache(spark)
     val centroids = cc.getOrElseUpdate(key, {
       // evict this dir's stale fingerprints (append/fold advanced the key)
-      cc.keys.filter(k2 => k2.startsWith(dir) && k2 != key).foreach(cc.remove)
-      spark.read.parquet(s"${ivfRoot(dir)}/centroids")
+      cc.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(cc.remove)
+      spark.read.parquet(s"$root/centroids")
         .as[(Int, Array[Double])].collect().sortBy(_._1)
     })
     val probeLists: Seq[Int] = centroids.map { case (l, c) =>
@@ -621,8 +682,8 @@ object Similarity {
     val bq = spark.sparkContext.broadcast(q)
     val ec = ivfEmbCache(spark)
     ec.getOrElseUpdate(key, {
-        ec.keys.filter(k2 => k2.startsWith(dir) && k2 != key).foreach(ec.remove)
-        ivfEmb(spark, dir)
+        ec.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(ec.remove)
+        ivfEmbAt(spark, root)
       })
       .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

@@ -422,12 +422,11 @@ object Searcher {
   def searchAfterSnap(spark: SparkSession, v: Snapshot, query: String,
                       afterScoreQ: Long, afterDocId: Long, k: Int,
                       conjunctive: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, desc, floor, lit}
+    import org.apache.spark.sql.functions.{col, desc}
     val hits = topKSnap(spark, v, query, Int.MaxValue, conjunctive,
       ranked = false, maxScoreQ = afterScoreQ).toDF()
     hits
-      .select(col("docId"),
-        floor(col("score") * lit(10000.0) + lit(0.5)).cast("long").as("score_q"))
+      .select(col("docId"), graft.Engine.quantized(col("score")).as("score_q"))
       .filter(col("score_q") < afterScoreQ ||
         (col("score_q") === afterScoreQ && col("docId") > afterDocId))
       .orderBy(desc("score_q"), col("docId"))
