@@ -400,6 +400,14 @@ object SparkEntry {
         docsDf.filter(col("doc_id") % 3 =!= 0),
         docsDf.filter(col("doc_id") % 3 === 0))
     },
+    // exact-tier decontamination — the verbatim eval-doc-in-training case:
+    // the reference set is docs doc_id % 7 == 0 (their texts ARE in the
+    // corpus, modeling leaked eval items); drop set = every corpus doc
+    // whose digest appears in the reference
+    "dedup_decontam_exact" -> { (s, d) =>
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+      Dedup.decontaminateExact(s, docsDf, docsDf.filter(col("doc_id") % 7 === 0))
+    },
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // value-level oracle for the simhash ALGORITHM (md5 basis — the pair
     // queries above keep the faster seeded mixer and stay rows-only)
@@ -425,6 +433,15 @@ object SparkEntry {
     // asserted in OpsSpec), like the other approximate ops.
     "ann_ivf_probe" -> ((s, d) => Similarity.ivfTopK(s, d, lists = 16, nprobe = 4)),
     "ann_centroid_assign" -> ((s, d) => Similarity.centroidAssign(s, d)),
+    // embedding-space decontamination (the semantic tier): corpus vectors
+    // (vec_id % 3 != 0) within cosine 0.45 of any reference vector
+    // (% 3 == 0) — one narrow broadcast map, zero shuffles
+    "ann_decontaminate" -> { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      Similarity.decontaminateEmbeddings(s,
+        e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 3 === 0),
+        threshold = 0.45)
+    },
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -816,6 +833,29 @@ object SparkEntry {
         |FROM d JOIN n na ON d.a = na.vec_id JOIN n nb ON d.b = nb.vec_id
         |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // exact-tier decontamination: digest membership against the reference
+    "dedup_decontam_exact" ->
+      """SELECT DISTINCT d.doc_id AS doc_id
+        |FROM documents d
+        |JOIN (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 7 = 0) r
+        |  ON md5(d.text) = r.dg
+        |ORDER BY doc_id""".stripMargin,
+    // embedding-space decontamination: cross-split cosine ≥ 0.45 (same
+    // arithmetic/quantization shape as the ann_cosine_pairs oracle)
+    "ann_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+        |  FROM e x JOIN e y ON x.i = y.i AND x.vec_id % 3 <> 0 AND y.vec_id % 3 = 0
+        |  GROUP BY 1, 2)
+        |SELECT a AS vec_id, b AS ref_id,
+        |       CAST(floor(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000 + 0.5) AS BIGINT) AS cos_q
+        |FROM d JOIN n na ON d.a = na.vec_id JOIN n nb ON d.b = nb.vec_id
+        |WHERE dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.45
+        |ORDER BY vec_id, ref_id""".stripMargin,
     "text_langid" ->
       s"""WITH $toksCte,
          |r AS (

@@ -426,6 +426,19 @@ object Dedup {
     decontaminatePairs(spark, corpus, ref, threshold)
       .select(col("doc_id")).distinct().orderBy(col("doc_id"))
 
+  /** EXACT-tier decontamination: corpus docs whose content digest appears
+    * in the reference set — the verbatim-eval-doc-in-training-data case,
+    * the single most common contamination an LLM pipeline screens for
+    * (run it before the MinHash tier: it is one digest equi-join, and at
+    * scale the ref digest set broadcasts). Same drop-set shape as
+    * `decontaminate`.
+    */
+  def decontaminateExact(spark: SparkSession, corpus: DataFrame,
+                         ref: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(ref.select(md5(col("text")).as("digest")).distinct(), "digest")
+      .select(col("doc_id")).distinct().orderBy(col("doc_id"))
+
   // ---- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over tokens (tf-weighted bit votes). */

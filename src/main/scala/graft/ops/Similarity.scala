@@ -713,6 +713,42 @@ object Similarity {
     ivfProbe(spark, dir, q, qId, k, nprobe)
   }
 
+  /** EMBEDDING-space decontamination: corpus vectors with cosine ≥
+    * `threshold` to ANY reference vector — the semantic tier of the
+    * benchmark-decontamination suite (Dedup.decontaminateExact /
+    * decontaminatePairs cover the verbatim and n-gram tiers; this one
+    * catches paraphrased eval items). The reference side is an EVAL SET —
+    * small by nature — so it is collected once, sorted by vec_id
+    * (deterministic pair order) and broadcast: the whole op is ONE narrow
+    * map over the corpus, zero shuffles, embarrassingly parallel at any
+    * corpus size. A reference set too large to broadcast is a different
+    * problem — use `lshPairs`-style banding across tables; the loud
+    * require points there.
+    */
+  def decontaminateEmbeddings(spark: SparkSession, corpus: DataFrame,
+                              ref: DataFrame, threshold: Double = 0.9,
+                              maxRefVectors: Int = 2000000): DataFrame = {
+    import spark.implicits._
+    val refArr: Array[(Long, Array[Float])] = ref
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .limit(maxRefVectors + 1).collect().sortBy(_._1)
+    require(refArr.length <= maxRefVectors,
+      s"reference set exceeds $maxRefVectors vectors — too large to " +
+        "broadcast; band it with lshPairs-style bucketing instead")
+    val b = spark.sparkContext.broadcast(refArr)
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        b.value.iterator.flatMap { case (rid, rv) =>
+          val c = cosine(v, rv)
+          if (c >= threshold && id != rid) Iterator.single((id, rid, c))
+          else Iterator.empty
+        }
+      }
+      .toDF("vec_id", "ref_id", "cos")
+      .select(col("vec_id"), col("ref_id"), quantized(col("cos")).as("cos_q"))
+      .orderBy(col("vec_id"), col("ref_id"))
+  }
+
   /** Per-label centroid then nearest-centroid assignment — the IVF
     * coarse-quantizer building block (here over the provided labels).
     */

@@ -243,6 +243,37 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     assert(drop == want.map(_._1))
   }
 
+  test("exact + embedding decontamination tiers equal driver-computed ground truth") {
+    import spark.implicits._
+    // exact tier: drop set = corpus docs whose digest appears in the ref
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val refDigests = texts.filter(_._1 % 7 == 0).map(t => md5(t._2)).toSet
+    val wantExact = texts.filter(t => refDigests(md5(t._2))).map(_._1).toSet
+    assert(wantExact.nonEmpty)
+    val gotExact = graft.ops.Dedup.decontaminateExact(spark, docs,
+        docs.filter(col("doc_id") % 7 === 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(gotExact == wantExact)
+    // embedding tier: cross-split cosine ≥ t vs exhaustive driver compute
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (cVecs, rVecs) = vecs.partition(_._1 % 3 != 0)
+    val wantEmb = (for {
+      (a, va) <- cVecs; (b, vb) <- rVecs
+      c = Similarity.cosine(va, vb) if c >= 0.45
+    } yield (a, b, math.floor(c * 10000 + 0.5).toLong)).toSet
+    val gotEmb = Similarity.decontaminateEmbeddings(spark,
+        e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") % 3 === 0),
+        threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotEmb == wantEmb, s"missed: ${wantEmb -- gotEmb}, extra: ${gotEmb -- wantEmb}")
+    assert(gotEmb.nonEmpty)
+  }
+
   test("ivfCompact: fold over base ∪ appends ≡ fresh buildIvf over the union; GC consumes deltas+claims") {
     import spark.implicits._
     val old = sys.props.put("graft.gc.grace.ms", "0")
