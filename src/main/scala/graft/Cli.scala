@@ -231,22 +231,21 @@ object Cli {
       // against a --mode code/trigram index tokenizes the same way the
       // index did
       val h = IndexBuilder.openHandle(indexDir)
-      if (after.isEmpty) {
-        // page 1 prints score_q (the cursor's score space) so the last
-        // line can be fed straight back as --after — a 6-decimal float
-        // print cannot be reliably re-quantized at boundary values
-        val hits = Searcher.topK(spark, h, terms, k.toInt, conj).collect()
-        hits.foreach(hit => println(
-          f"${hit.docId}%12d  ${hit.score}%.6f  score_q=${Searcher.quantize(hit.score)}%d"))
-        hits.lastOption.foreach(hit => println(
-          s"next page: --after ${Searcher.quantize(hit.score)}:${hit.docId}"))
-      } else {
-        // keyset pagination: --after <scoreQ>:<docId> = the cursor printed
-        // with the previous page (score_q is the 10⁻⁴-quantized score)
-        val Array(cs, cd) = after.split(':').map(_.toLong)
-        Searcher.searchAfter(spark, h, terms, cs, cd, k.toInt, conj).collect()
-          .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
-      }
+      // EVERY page — including page 1 — runs searchAfter, so pages and
+      // cursors all live in one total order (score_q desc, docId asc):
+      // mixing a raw-score-ranked page 1 with quantized-cursor pages can
+      // skip or duplicate docs at raw-score ties inside one score_q bucket
+      val (cs, cd) =
+        if (after.isEmpty) (Long.MaxValue, -1L)
+        else after.split(':') match {
+          case Array(a, b) => (a.toLong, b.toLong)
+          case _ => sys.error(s"--after expects scoreQ:docId, got '$after'")
+        }
+      val rows = Searcher.searchAfter(spark, h, terms, cs, cd, k.toInt, conj)
+        .collect()
+      rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
+      rows.lastOption.foreach(r => println(
+        s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
 
     case "ivf-compact" :: ivfDir :: rest =>
       // the ANN epoch fold: retrain the coarse quantizer over base ∪
@@ -267,9 +266,12 @@ object Cli {
       val drop = graft.ops.Dedup.decontaminate(spark, corpus, ref, t)
       opt(rest, "--tombstone", "") match {
         case "" =>
-          val n = drop.count()
-          println(s"$n contaminated doc(s) in $corpusDir vs $refDir (j >= $t)")
-          drop.limit(20).collect().foreach(r => println(f"  ${r.getLong(0)}%12d"))
+          // ONE materialization: count + sample from a single collect (the
+          // drop set is the rare output; a separate count() would re-run
+          // the whole shingle-verify pipeline)
+          val ids = drop.collect().map(_.getLong(0))
+          println(s"${ids.length} contaminated doc(s) in $corpusDir vs $refDir (j >= $t)")
+          ids.take(20).foreach(id => println(f"  $id%12d"))
         case indexDir =>
           val snap = IndexBuilder.openHandle(indexDir).snapshot
           val dead = snap.docmetaAll(spark).toDF()

@@ -102,12 +102,6 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** MinHash signature per doc → band buckets → bucket join → candidate
-    * pairs → exact Jaccard verify on candidates only. Every step is a
-    * narrow map or an equi-shuffle; no full pair matrix. With r=3, b=24,
-    * P(candidate at j=0.6) ≈ 0.997; candidates are then exactly verified,
-    * so output ⊆ true pairs with (deterministic) recall checked in tests.
-    */
   /** MinHash signatures: ONE narrow map over (doc_id, text) — shingles are
     * re-derived locally per doc (same sliding window as `shingles`; min()
     * is idempotent so the distinct step is unnecessary for minhash), which
@@ -174,6 +168,12 @@ object Dedup {
       }.toDF("doc_id", "sh")
   }
 
+  /** MinHash signature per doc → band buckets → bucket join → candidate
+    * pairs → exact Jaccard verify on candidates only. Every step is a
+    * narrow map or an equi-shuffle; no full pair matrix. With r=3, b=24,
+    * P(candidate at j=0.6) ≈ 0.997; candidates are then exactly verified,
+    * so output ⊆ true pairs with (deterministic) recall checked in tests.
+    */
   def minhashLshPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
     val buckets = bandBuckets(spark, docs(spark, sfDir))
@@ -368,7 +368,11 @@ object Dedup {
     // materialize the signature+band-join pipeline ONCE (it is the
     // dominant cost; collecting each side's id set from the lazy plan
     // would re-run both corpora's MinHash maps per collect) — the same
-    // checkpoint-then-probe shape as dedupClusters
+    // checkpoint-then-probe shape as dedupClusters. A previous call's
+    // fallback checkpoint (kept alive below because the returned lazy plan
+    // references it) is released now: the leak stays bounded at ONE entry.
+    planCache(spark).remove("decontam-cands-last")
+      .foreach(_.unpersist(blocking = false))
     val candsCp = bandBuckets(spark, corpus).as("x")
       .join(bandBuckets(spark, ref).as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
@@ -394,13 +398,17 @@ object Dedup {
         (localShingles(spark, corpus).filter(col("doc_id").isin(cIds: _*)),
           localShingles(spark, ref).filter(col("doc_id").isin(rIds: _*))
             .withColumnRenamed("doc_id", "ref_id"))
-      } else
+      } else {
+        // the returned lazy plan references the checkpoint — register it so
+        // the NEXT call (or session sweep) releases it instead of leaking
+        planCache(spark).put("decontam-cands-last", candsCp)
         (localShingles(spark, corpus)
           .join(candsCp.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"),
           localShingles(spark, ref)
             .join(candsCp.select(col("ref_id").as("doc_id")).distinct(),
               Seq("doc_id"), "left_semi")
             .withColumnRenamed("doc_id", "ref_id"))
+      }
     val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("na"))
     val szR = shR.groupBy(col("ref_id")).agg(count(lit(1)).cast("double").as("nb"))
     // exact verify = every candidate-doc cross pair sharing a shingle — a

@@ -143,6 +143,27 @@ object Similarity {
     s"${sys.props("java.io.tmpdir")}/graft-ann/v2-t$tables-p$planes-$key-${srcStamp(sfDir)}"
   }
 
+  /** Delete sibling artifact dirs for the SAME (geometry, source path) with
+    * a DIFFERENT stamp — a source rewrite mints a fresh stamped dir, and
+    * the old stamp's tree is provably dead (its source content no longer
+    * exists); without this, tmp accumulates one full corpus copy per
+    * rewrite. The stamp is the suffix after the last '-' (the sanitized
+    * key contains no dashes). Called only when a build is about to run, so
+    * queries never pay the listing.
+    */
+  private def sweepStaleStamps(dir: String): Unit = {
+    val cut = dir.lastIndexOf('/')
+    val parent = dir.substring(0, cut)
+    val name = dir.substring(cut + 1)
+    val prefix = name.substring(0, name.lastIndexOf('-') + 1)
+    graft.index.Fs.listDirs(parent)
+      .filter { d =>
+        val n = graft.index.Fs.name(d)
+        n.startsWith(prefix) && n != name
+      }
+      .foreach(graft.index.Fs.delete)
+  }
+
   /** Build (or resume) the LSH bucket table: ONE pass over the corpus
     * computes each vector's `tables` sign-hashes and emits
     * (bucket = table<<32|key, vec_id), written range-sorted on `bucket` so
@@ -157,6 +178,7 @@ object Similarity {
     import spark.implicits._
     val dir = lshBucketsDir(sfDir, tables, planes)
     if (!graft.index.Fs.exists(s"$dir/_DONE")) {
+      sweepStaleStamps(dir)
       val e = emb(spark, sfDir)
       val dim = e.select(col("embedding")).as[Array[Float]].head().length
       val bPlanes = spark.sparkContext.broadcast(planesFor(tables, planes, dim))
@@ -337,8 +359,11 @@ object Similarity {
     * time — see BENCH/BASELINE.md's brute/LSH/IVF crossover).
     */
   def buildIvf(spark: SparkSession, sfDir: String, lists: Int = 64,
-               iters: Int = 2): String =
-    buildIvfFrom(spark, emb(spark, sfDir), ivfDir(sfDir, lists), lists, iters)
+               iters: Int = 2): String = {
+    val dir = ivfDir(sfDir, lists)
+    if (!graft.index.Fs.exists(s"$dir/_DONE")) sweepStaleStamps(dir)
+    buildIvfFrom(spark, emb(spark, sfDir), dir, lists, iters)
+  }
 
   /** buildIvf over an explicit source frame + target dir (the append
     * fixture builds from a corpus subset; ivfAppend then adds the rest).
@@ -568,6 +593,19 @@ object Similarity {
     }
     if (defers.nonEmpty) graft.index.Compactor.gcDefer(dir, defers.distinct.toSeq)
     val now = System.currentTimeMillis()
+    // a fold that crashed AFTER building its epoch but BEFORE the CURRENT
+    // flip leaves a complete epoch dir ABOVE the current one — never
+    // visible, never re-used (the next fold re-mints and Fs.deletes
+    // cur+1), but without this sweep it leaks a full corpus copy if no
+    // further fold ever runs with work to do; under the lock none can be
+    // in flight, so age-gated outright deletion is safe
+    val curNum = if (root == dir) 0 else Fs.name(root).stripPrefix("epoch-").toInt
+    Fs.listDirs(dir).map(Fs.name)
+      .filter(n => n.startsWith("epoch-") &&
+        n.stripPrefix("epoch-").forall(_.isDigit) &&
+        n.stripPrefix("epoch-").toInt > curNum)
+      .filter(n => now - Fs.mtime(s"$dir/$n") > graft.index.Compactor.gcGraceMs)
+      .foreach(n => Fs.delete(s"$dir/$n"))
     Fs.listDirs(root)
       .filter(d => Fs.name(d).startsWith("append-") &&
         !Fs.exists(s"$d/_DONE") &&
@@ -727,20 +765,27 @@ object Similarity {
     */
   def decontaminateEmbeddings(spark: SparkSession, corpus: DataFrame,
                               ref: DataFrame, threshold: Double = 0.9,
-                              maxRefVectors: Int = 2000000): DataFrame = {
+                              maxRefVectors: Int = 1000000): DataFrame = {
     import spark.implicits._
-    val refArr: Array[(Long, Array[Float])] = ref
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .limit(maxRefVectors + 1).collect().sortBy(_._1)
-    require(refArr.length <= maxRefVectors,
+    // size precheck BEFORE collecting (a collect-then-require guard would
+    // itself materialize the oversized payload on the driver); the limited
+    // count never scans past the bound
+    val refCount = ref.limit(maxRefVectors + 1).count()
+    require(refCount <= maxRefVectors,
       s"reference set exceeds $maxRefVectors vectors — too large to " +
         "broadcast; band it with lshPairs-style bucketing instead")
+    val refArr: Array[(Long, Array[Float])] = ref
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
     val b = spark.sparkContext.broadcast(refArr)
+    // NO equal-id exclusion: corpus and ref are independent tables whose
+    // id spaces may collide — a corpus vec_id equal to a ref vec_id says
+    // nothing about identity (the other two tiers make the same choice)
     corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         b.value.iterator.flatMap { case (rid, rv) =>
           val c = cosine(v, rv)
-          if (c >= threshold && id != rid) Iterator.single((id, rid, c))
+          if (c >= threshold) Iterator.single((id, rid, c))
           else Iterator.empty
         }
       }
