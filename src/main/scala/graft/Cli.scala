@@ -247,6 +247,14 @@ object Cli {
       rows.lastOption.foreach(r => println(
         s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
 
+    case "ivf-tombstone" :: ivfDir :: idsPath :: _ =>
+      // ANN-level delete: vec_ids from a parquet file ('vec_id' column, or
+      // a single column); hidden from probes immediately, purged at the
+      // next `ivf-compact`
+      graft.ops.Similarity.ivfTombstone(spark, ivfDir, spark.read.parquet(idsPath))
+      println(s"ivf-tombstoned; deleted vectors hidden from probes " +
+        "immediately, purged at the next `ivf-compact`")
+
     case "ivf-compact" :: ivfDir :: rest =>
       // the ANN epoch fold: retrain the coarse quantizer over base ∪
       // appended deltas, rewrite the partitioned layout, consume the deltas
@@ -292,6 +300,7 @@ object Cli {
            |       export <src> <dir> [--mode m] [--positions] [--dry-run] [--verbose] |
            |       ingest <src> <dir> <ckp> [--seconds s] | stats <dir> |
            |       compact <dir> | reconcile <dir> | ivf-compact <ivfDir> [--lists n] |
+           |       ivf-tombstone <ivfDir> <vecIdsParquet> |
            |       tombstone <dir> <docIdsParquet> | tombstone <dir> --dedup <srcDir> |
            |       decontaminate <corpusDir> <refDir> [--threshold t] [--tombstone <indexDir>] |
            |       search <dir> <k> <terms...> [--and] [--after scoreQ:docId]""".stripMargin)

@@ -101,19 +101,21 @@ object SparkEntry {
     * IVF identities ann_ivf_topk / ann_ivf_append_topk): one SQL string, so
     * an arithmetic/quantization fix cannot make the ops silently disagree.
     */
-  private val bruteCosineTopKSql =
-    """WITH q AS (
+  private def bruteCosineSql(eWhere: String): String =
+    s"""WITH q AS (
         |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
         |  FROM embeddings WHERE vec_id = 0),
         |e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
-        |  FROM embeddings WHERE vec_id <> 0),
+        |  FROM embeddings WHERE vec_id <> 0 AND ($eWhere)),
         |s AS (
         |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sum(e.v * e.v) AS nv,
         |         (SELECT sum(v * v) FROM q) AS nq
         |  FROM e JOIN q USING (i) GROUP BY e.vec_id)
         |SELECT vec_id, CAST(floor(dot / (sqrt(nq) * sqrt(nv)) * 10000 + 0.5) AS BIGINT) AS cos_q
         |FROM s ORDER BY cos_q DESC, vec_id LIMIT 20""".stripMargin
+
+  private val bruteCosineTopKSql = bruteCosineSql("TRUE")
 
   /** Trigram tokens (Analyzer.Trigram(Simple) transliterated): char 3-grams
     * per token, whole token when length ≤ 3; constant series bound (40)
@@ -428,6 +430,10 @@ object SparkEntry {
     // equal brute force over the FULL table — green only if the append
     // committed every new vector exactly once.
     "ann_ivf_append_topk" -> ((s, d) => Similarity.ivfAppendTopK(s, d)),
+    // ANN-level DELETE (the Compactor.tombstone twin): vec_ids ≡ 1 (mod 5)
+    // tombstoned as a marker-committed del delta; the exhaustive probe
+    // filters them live, so it must equal brute force over the SURVIVORS
+    "ann_tombstone_topk" -> ((s, d) => Similarity.ivfTombstoneTopK(s, d)),
     // default approximate probe (nprobe < lists): reads only nprobe/lists of
     // the table via PartitionFilters — rows-only check (recall vs brute is
     // asserted in OpsSpec), like the other approximate ops.
@@ -818,6 +824,11 @@ object SparkEntry {
     // full table (same oracle as ann_ivf_topk)
     "ann_ivf_append_topk" ->
       bruteCosineTopKSql,
+    // live ANN deletes: brute force restricted to the surviving vectors
+    // (pairwise cosine is independent of other rows, so filtering outside
+    // the scoring is exact)
+    "ann_tombstone_topk" ->
+      bruteCosineSql("vec_id % 5 <> 1"),
     "ann_cosine_topk" ->
       bruteCosineTopKSql,
     "ann_cosine_pairs" ->

@@ -341,11 +341,14 @@ object Similarity {
   private def keyOfDir(dir: String)(key: String): Boolean =
     key.startsWith(s"$dir|") || key.startsWith(s"$dir/")
 
-  /** Evict every cached centroid/FileIndex entry derived from `dir`. */
+  /** Evict every cached centroid/FileIndex/delete-set entry derived from
+    * `dir`.
+    */
   private def evictIvfCaches(dir: String): Unit =
     SparkSession.getActiveSession.foreach { s =>
       ivfCentroidCache(s).keys.filter(keyOfDir(dir)).foreach(ivfCentroidCache(s).remove)
       ivfEmbCache(s).keys.filter(keyOfDir(dir)).foreach(ivfEmbCache(s).remove)
+      ivfTombCache(s).keys.filter(keyOfDir(dir)).foreach(ivfTombCache(s).remove)
     }
 
   /** Build (or resume) an IVF index: k-means-style coarse quantizer
@@ -430,16 +433,24 @@ object Similarity {
   private def ivfAppendDirs(dir: String): Seq[String] =
     ivfAppendDirsAt(ivfRoot(dir))
 
+  /** Completed delete deltas under an explicit root (ivfTombstone). */
+  private def ivfDelDirsAt(root: String): Seq[String] =
+    graft.index.Fs.listDirs(root)
+      .filter(d => graft.index.Fs.name(d).startsWith("del-") &&
+        graft.index.Fs.exists(s"$d/_DONE"))
+
   /** Cache key carrying the live fingerprint: the pinned root (an
-    * ivfCompact flips CURRENT), its _DONE mtime (changes on every rebuild)
-    * and the append-delta list (grows with each ivfAppend) — a cached
-    * DataFrame can never outlive the files it indexes, miss a committed
-    * append, or survive an epoch fold (ADVICE r2: the dir-only key served
-    * deleted files after a delete+rebuild in one session).
+    * ivfCompact flips CURRENT), its _DONE mtime (changes on every rebuild),
+    * the append-delta list (grows with each ivfAppend) and the delete-delta
+    * list (grows with each ivfTombstone) — a cached DataFrame can never
+    * outlive the files it indexes, miss a committed append/delete, or
+    * survive an epoch fold (ADVICE r2: the dir-only key served deleted
+    * files after a delete+rebuild in one session).
     */
   private def ivfKeyAt(root: String): String =
     s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}" +
-      s"|${ivfAppendDirsAt(root).map(graft.index.Fs.name).sorted.mkString(",")}"
+      s"|${ivfAppendDirsAt(root).map(graft.index.Fs.name).sorted.mkString(",")}" +
+      s"|${ivfDelDirsAt(root).map(graft.index.Fs.name).sorted.mkString(",")}"
 
   /** INCREMENTAL IVF (VERDICT r3 missing-item 2: ANN was the one subsystem
     * without a continuous-ingest story): assign a NEW embedding batch to
@@ -498,6 +509,69 @@ object Similarity {
     }
   }
 
+  /** IVF-level DELETE — the ANN twin of `Compactor.tombstone`, completing
+    * the build → append → DELETE → fold lifecycle symmetry with the
+    * posting index (and the embedding-side enforcement path for dedup /
+    * decontamination verdicts: the drop set's vec_ids come straight from
+    * `losers`-style outputs). Lucene-style two-phase:
+    *
+    *  1. LOGICAL (this call): vec_ids land in a marker-committed delta
+    *     `root/del-K/ids`; the cache fingerprint advances, and every probe
+    *     filters them via a broadcast sorted array — deleted vectors vanish
+    *     from results immediately.
+    *  2. PHYSICAL (next `ivfCompact`): the fold anti-joins the delete set
+    *     out of the union before retraining, so the new epoch equals a
+    *     fresh build over the SURVIVING vectors and starts with an empty
+    *     delete set.
+    *
+    * Unlike posting docIds, vec_ids are STABLE across folds (no dense
+    * re-ranking), so no epoch guard is needed — a delete resolved against
+    * any snapshot stays correct. Runs under the shared maintenance lock.
+    */
+  def ivfTombstone(spark: SparkSession, dir: String, vecIds: DataFrame): Unit = {
+    graft.index.Compactor.withMaintLock(dir, "ivf-tombstone") { tok =>
+      val root = ivfRoot(dir)
+      require(graft.index.Fs.exists(s"$root/_DONE"),
+        s"no IVF index at $dir — buildIvf first")
+      // id column BY NAME, never by position (the Compactor.tombstone
+      // discipline): positional fallback only for single-column inputs
+      val idCol =
+        if (vecIds.columns.contains("vec_id")) "vec_id"
+        else {
+          require(vecIds.columns.length == 1,
+            s"tombstone ids must carry a 'vec_id' column or exactly one " +
+              s"column; got (${vecIds.columns.mkString(", ")})")
+          vecIds.columns.head
+        }
+      val k = graft.index.Fs.listDirs(root).map(graft.index.Fs.name)
+        .flatMap(_.stripPrefix("del-").toLongOption)
+        .foldLeft(0L)(math.max) + 1
+      val out = f"$root/del-$k%06d"
+      graft.index.Fs.delete(out) // stale crashed attempt
+      vecIds.select(col(idCol).cast("long").as("vec_id"))
+        .distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/ids")
+      graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-tombstone") {
+        graft.index.Fs.touch(s"$out/_DONE") // marker LAST
+      }
+      evictIvfCaches(dir)
+    }
+  }
+
+  /** Collected SORTED delete set for a pinned root (empty ⇒ zero jobs). */
+  private def ivfTombstonesAt(spark: SparkSession, dir: String, root: String,
+                              key: String): Array[Long] = {
+    val dirs = ivfDelDirsAt(root)
+    if (dirs.isEmpty) return Array.emptyLongArray
+    val m = ivfTombCache(spark)
+    m.getOrElseUpdate(key, {
+      m.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(m.remove)
+      import spark.implicits._
+      spark.read.parquet(dirs.map(_ + "/ids"): _*)
+        .select(col("vec_id")).distinct().as[Long].collect().sorted
+    })
+  }
+
   /** THE ANN EPOCH FOLD (VERDICT r4 missing-item 2): retrain the coarse
     * quantizer over base ∪ appended deltas and rewrite the partitioned
     * layout as a new epoch — the IVF lifecycle's `compact`, completing the
@@ -529,7 +603,9 @@ object Similarity {
         s"no IVF index at $dir — buildIvf first")
       ivfGcReconcile(dir, root)
       val appends = ivfAppendDirsAt(root)
-      if (appends.nonEmpty) {
+      val dels = ivfDelDirsAt(root)
+      // something to fold? appends to absorb, or deletes to purge
+      if (appends.nonEmpty || dels.nonEmpty) {
         val nLists =
           if (lists > 0) lists
           else spark.read.parquet(s"$root/centroids").count().toInt
@@ -538,9 +614,25 @@ object Similarity {
         val newEpoch = ivfEpochName(curEpoch + 1)
         val newRoot = s"$dir/$newEpoch"
         graft.index.Fs.delete(newRoot) // crashed prior attempt
-        buildIvfFrom(spark,
-          ivfEmbAt(spark, root).select(col("vec_id"), col("embedding"), col("label")),
-          newRoot, nLists, iters)
+        // tombstoned vectors are dropped BEFORE the retrain: they train no
+        // centroid and land in no list — the new epoch equals a fresh
+        // build over the SURVIVING vectors and starts with an empty delete
+        // set (exactly Compactor's purge-at-fold semantics)
+        val union0 = ivfEmbAt(spark, root)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val union =
+          if (dels.isEmpty) union0
+          else union0.join(
+            spark.read.parquet(dels.map(_ + "/ids"): _*)
+              .select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+        // a delete set covering EVERY vector would train zero centroids and
+        // fold a quietly-empty index — refuse loudly (Compactor's n>0 twin)
+        if (dels.nonEmpty)
+          require(union.limit(1).count() > 0, "fold would produce an EMPTY " +
+            "ANN index (every vector tombstoned) — refusing; drop the index " +
+            "instead")
+        buildIvfFrom(spark, union, newRoot, nLists, iters)
         // ownership re-verified at the commit instant (Compactor discipline)
         graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-compact") {
           graft.index.Fs.atomicWrite(s"$dir/CURRENT", newEpoch)
@@ -553,7 +645,8 @@ object Similarity {
           .filter(_.endsWith(".claim"))
         val dead =
           if (root != dir) Seq(graft.index.Fs.name(root))
-          else Seq("emb", "centroids") ++ (appends ++ claims).map(graft.index.Fs.name)
+          else Seq("emb", "centroids") ++
+            (appends ++ dels ++ claims).map(graft.index.Fs.name)
         graft.index.Compactor.gcDefer(dir, dead)
         evictIvfCaches(dir)
       }
@@ -581,7 +674,7 @@ object Similarity {
       if (Fs.exists(s"$dir/emb") && !inGc("emb")) {
         defers ++= Seq("emb", "centroids")
         defers ++= Fs.listDirs(dir).map(Fs.name)
-          .filter(n => n.startsWith("append-") && !inGc(n))
+          .filter(n => (n.startsWith("append-") || n.startsWith("del-")) && !inGc(n))
         defers ++= Fs.listFiles(dir).map(Fs.name)
           .filter(n => n.endsWith(".claim") && !inGc(n))
       }
@@ -606,8 +699,11 @@ object Similarity {
         n.stripPrefix("epoch-").toInt > curNum)
       .filter(n => now - Fs.mtime(s"$dir/$n") > graft.index.Compactor.gcGraceMs)
       .foreach(n => Fs.delete(s"$dir/$n"))
+    // crashed _DONE-less append AND delete deltas — never visible; later
+    // commits mint fresh names, so age-gated deletion is safe
     Fs.listDirs(root)
-      .filter(d => Fs.name(d).startsWith("append-") &&
+      .filter(d => (Fs.name(d).startsWith("append-") ||
+          Fs.name(d).startsWith("del-")) &&
         !Fs.exists(s"$d/_DONE") &&
         now - Fs.mtime(d) > graft.index.Compactor.gcGraceMs)
       .foreach(Fs.delete)
@@ -674,6 +770,9 @@ object Similarity {
   // per query)
   private val ivfCentroidCache = new graft.SessionCache[Array[(Int, Array[Double])]]
   private val ivfEmbCache = new graft.SessionCache[DataFrame]
+  // per-fingerprint SORTED deleted-vec_id array (ivfTombstone) — a delete
+  // commit advances the fingerprint and invalidates
+  private val ivfTombCache = new graft.SessionCache[Array[Long]]
 
   /** IVF ANN top-k: rank the (tiny, resident) centroid table by cosine to
     * the query, probe the nprobe nearest lists, exact-rescore only those
@@ -718,6 +817,9 @@ object Similarity {
       (l, dot / (math.sqrt(nv) * math.sqrt(nc)))
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     val bq = spark.sparkContext.broadcast(q)
+    // delete set for THIS fingerprint (ivfTombstone): tombstoned vectors
+    // vanish from results immediately; physically purged at the next fold
+    val bDead = spark.sparkContext.broadcast(ivfTombstonesAt(spark, dir, root, key))
     val ec = ivfEmbCache(spark)
     ec.getOrElseUpdate(key, {
         ec.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(ec.remove)
@@ -725,6 +827,10 @@ object Similarity {
       })
       .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .filter(t => {
+        val dead = bDead.value
+        dead.isEmpty || java.util.Arrays.binarySearch(dead, t._1) < 0
+      })
       .map { case (id, v) => (id, cosine(bq.value, v)) }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
@@ -746,6 +852,26 @@ object Similarity {
       dir, lists)
     if (ivfAppendDirs(dir).isEmpty)
       ivfAppend(spark, dir, emb(spark, sfDir).filter(col("vec_id") % 4 === 0))
+    val q: Array[Float] = emb(spark, sfDir).filter(col("vec_id") === qId)
+      .select(col("embedding")).as[Array[Float]].head()
+    ivfProbe(spark, dir, q, qId, k, nprobe)
+  }
+
+  /** The live-delete fixture under the driver gate: IVF over the full
+    * corpus, vec_ids ≡ 1 (mod 5) tombstoned, then an EXHAUSTIVE probe —
+    * which must equal brute-force cosine over the SURVIVING vectors (the
+    * cosine of a pair does not depend on other rows, so live-filtered
+    * scores are identical to a filtered-corpus brute force; green only if
+    * every delete is honored and nothing else is dropped).
+    */
+  def ivfTombstoneTopK(spark: SparkSession, sfDir: String, qId: Long = 0L,
+                       k: Int = 20, lists: Int = 16, nprobe: Int = 16): DataFrame = {
+    import spark.implicits._
+    val dir = s"${ivfDir(sfDir, lists)}-tombfx"
+    buildIvfFrom(spark, emb(spark, sfDir), dir, lists)
+    if (ivfDelDirsAt(ivfRoot(dir)).isEmpty)
+      ivfTombstone(spark, dir,
+        emb(spark, sfDir).filter(col("vec_id") % 5 === 1).select(col("vec_id")))
     val q: Array[Float] = emb(spark, sfDir).filter(col("vec_id") === qId)
       .select(col("embedding")).as[Array[Float]].head()
     ivfProbe(spark, dir, q, qId, k, nprobe)

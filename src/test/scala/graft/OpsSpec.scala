@@ -340,6 +340,57 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ivfTombstone: live deletes vanish from probes; fold purges them (== fresh build over survivors)") {
+    import spark.implicits._
+    val old = sys.props.put("graft.gc.grace.ms", "0")
+    try {
+      val dir = tmpDir("graft-ivftomb")
+      Similarity.synthEmbeddings(spark, dir, 1500L, 32, centers = 40)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = s"$dir/ivf"
+      Similarity.buildIvfFrom(spark, e, ivf, 16)
+      Similarity.ivfTombstone(spark, ivf,
+        e.filter(col("vec_id") % 5 === 1).select(col("vec_id")))
+      val q = e.filter(col("vec_id") === 0L).select(col("embedding"))
+        .as[Array[Float]].head()
+      // LIVE: exhaustive probe == driver-exact top-20 over survivors
+      def wantTop(rows: Array[(Long, Array[Float])]) = rows
+        .filter(r => r._1 != 0L)
+        .map { case (id, v) =>
+          (id, math.floor(Similarity.cosine(q, v) * 10000 + 0.5).toLong) }
+        .sortBy { case (id, cq) => (-cq, id) }.take(20).toSeq
+      val live = e.filter(col("vec_id") % 5 =!= 1)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      val want = wantTop(live)
+      assert(Similarity.ivfProbe(spark, ivf, q, 0L, 20, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+      // PURGE: the fold drops them physically; new epoch == fresh build
+      // over survivors (same centroids, same assignments), delete set empty
+      Similarity.ivfCompact(spark, ivf)
+      val newRoot = s"$ivf/epoch-000001"
+      val stored = spark.read.parquet(s"$newRoot/emb")
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(stored == live.map(_._1).toSet)
+      val fresh = s"$dir/ivf-fresh"
+      Similarity.buildIvfFrom(spark, e.filter(col("vec_id") % 5 =!= 1), fresh, 16)
+      def centroids(root: String) = spark.read.parquet(s"$root/centroids")
+        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2.toSeq).toSeq
+      assert(centroids(newRoot) == centroids(fresh))
+      assert(Similarity.ivfProbe(spark, ivf, q, 0L, 20, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+      // consumed del delta GC'd by the next maintenance pass (grace = 0)
+      Similarity.ivfTombstone(spark, ivf,
+        e.filter(col("vec_id") === 2L).select(col("vec_id")))
+      Similarity.ivfCompact(spark, ivf)
+      assert(!graft.index.Fs.exists(s"$ivf/del-000001"))
+    } finally {
+      old match {
+        case Some(v) => sys.props.put("graft.gc.grace.ms", v)
+        case None => sys.props.remove("graft.gc.grace.ms")
+      }
+    }
+  }
+
   test("ANN artifact dirs are source-stamped: delete+rewrite of embeddings.parquet rebuilds") {
     import spark.implicits._
     val dir = tmpDir("graft-annstale")
