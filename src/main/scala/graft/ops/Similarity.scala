@@ -464,7 +464,8 @@ object Similarity {
     * against the frozen coarse quantizer; retrain = an occasional full
     * rebuild, the ANN analog of the posting index's epoch fold).
     */
-  def ivfAppend(spark: SparkSession, dir: String, newEmb: DataFrame): Unit = {
+  def ivfAppend(spark: SparkSession, dir: String, newEmb: DataFrame,
+                batchTag: Option[Long] = None): Unit = {
     import spark.implicits._
     // Under the shared maintenance lock: an append's list_id assignment is
     // only valid against the centroids of the root it lands in — a fold
@@ -477,37 +478,61 @@ object Similarity {
       val root = ivfRoot(dir)
       require(graft.index.Fs.exists(s"$root/_DONE"),
         s"no IVF index at $dir — buildIvf first")
-      val centroids: Array[Array[Double]] = spark.read.parquet(s"$root/centroids")
-        .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
-      val bc = spark.sparkContext.broadcast(centroids)
-      // reserve the delta name ATOMICALLY (claim file); the _DONE guard
-      // makes claim GC safe — a K whose delta committed is never re-claimed
-      // even after ivfCompact swept its claim file
-      var k = graft.index.Fs.listDirs(root).map(graft.index.Fs.name)
-        .flatMap(_.stripPrefix("append-").toLongOption)
-        .foldLeft(0L)(math.max) + 1
-      while (graft.index.Fs.exists(f"$root/append-$k%06d/_DONE") ||
-          !graft.index.Fs.tryCreateNew(f"$root/append-$k%06d.claim")) k += 1
-      val out = f"$root/append-$k%06d"
-      graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
-      newEmb.select(col("vec_id"), col("embedding"), col("label"))
-        .as[(Long, Array[Float], Int)]
-        .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }
-        .toDF("vec_id", "embedding", "label", "list_id")
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
-      // marker LAST: half-writes invisible; ownership re-verified at the
-      // commit instant (same discipline as Compactor's commit points — the
-      // heartbeat alone could detect a steal only AFTER the marker landed)
-      graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-append") {
-        graft.index.Fs.touch(s"$out/_DONE")
+      // `batchTag` = streaming-ingest mode (startIvfAppend): the delta is
+      // NAMED by the micro-batch id, making the commit IDEMPOTENT under
+      // foreachBatch's at-least-once replays — a committed tag skips, and
+      // a tag consumed by a previous fold fails loudly (the posting
+      // segment replay guard's twin: silently re-appending would duplicate
+      // every vector of the batch)
+      val tagged = batchTag.map(b => f"append-b$b%06d")
+      // a committed tag = a replayed micro-batch: skip (idempotent)
+      if (!tagged.exists(n => graft.index.Fs.exists(s"$root/$n/_DONE"))) {
+        tagged.foreach { name =>
+          require(!foldedAppendsAt(root).contains(name),
+            s"append tag $name was folded by a previous ivfCompact — a " +
+              "replay this late means the stream checkpoint was deleted; " +
+              "re-ingest against a fresh checkpoint or drop the index")
+        }
+        val centroids: Array[Array[Double]] = spark.read.parquet(s"$root/centroids")
+          .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+        val bc = spark.sparkContext.broadcast(centroids)
+        // untagged mode: reserve the delta name ATOMICALLY (claim file);
+        // the _DONE guard makes claim GC safe — a K whose delta committed
+        // is never re-claimed even after ivfCompact swept its claim file
+        val out = tagged.map(n => s"$root/$n").getOrElse {
+          var k = graft.index.Fs.listDirs(root).map(graft.index.Fs.name)
+            .flatMap(_.stripPrefix("append-").toLongOption)
+            .foldLeft(0L)(math.max) + 1
+          while (graft.index.Fs.exists(f"$root/append-$k%06d/_DONE") ||
+              !graft.index.Fs.tryCreateNew(f"$root/append-$k%06d.claim")) k += 1
+          f"$root/append-$k%06d"
+        }
+        graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
+        newEmb.select(col("vec_id"), col("embedding"), col("label"))
+          .as[(Long, Array[Float], Int)]
+          .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }
+          .toDF("vec_id", "embedding", "label", "list_id")
+          .repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
+        // marker LAST: half-writes invisible; ownership re-verified at the
+        // commit instant (same discipline as Compactor's commit points —
+        // the heartbeat alone could detect a steal only AFTER the marker
+        // landed)
+        graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-append") {
+          graft.index.Fs.touch(s"$out/_DONE")
+        }
+        // the commit changed the cache fingerprint: drop entries under the
+        // old keys (the centroid values are unchanged, but stale keys
+        // would accumulate one dead entry per append)
+        evictIvfCaches(dir)
       }
-      // the commit changed the cache fingerprint: drop entries under the
-      // old keys (the centroid values are unchanged, but stale keys would
-      // accumulate one dead entry per append)
-      evictIvfCaches(dir)
     }
   }
+
+  /** Append names consumed by prior folds at this root (replay guard). */
+  private def foldedAppendsAt(root: String): Set[String] =
+    graft.index.Fs.readString(s"$root/folded_appends").toSeq
+      .flatMap(_.split('\n').map(_.trim).filter(_.nonEmpty)).toSet
 
   /** IVF-level DELETE — the ANN twin of `Compactor.tombstone`, completing
     * the build → append → DELETE → fold lifecycle symmetry with the
@@ -633,6 +658,12 @@ object Similarity {
             "ANN index (every vector tombstoned) — refusing; drop the index " +
             "instead")
         buildIvfFrom(spark, union, newRoot, nLists, iters)
+        // record the consumed append names (carried forward) BEFORE the
+        // flip: a streaming batch tag replayed after its fold must fail
+        // loudly, not silently duplicate its vectors (ivfAppend's guard)
+        graft.index.Fs.writeString(s"$newRoot/folded_appends",
+          (foldedAppendsAt(root) ++ appends.map(graft.index.Fs.name))
+            .toSeq.sorted.mkString("\n"))
         // ownership re-verified at the commit instant (Compactor discipline)
         graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-compact") {
           graft.index.Fs.atomicWrite(s"$dir/CURRENT", newEpoch)

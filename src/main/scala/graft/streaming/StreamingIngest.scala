@@ -87,6 +87,43 @@ object StreamingIngest {
       .start()
   }
 
+  /** Start the continuous ANN ingest stream — the vector-index twin of
+    * startIndexAppend: embedding parquet files arriving under `srcDir` are
+    * assigned against the frozen coarse quantizer and committed as
+    * partitioned IVF append deltas (Similarity.ivfAppend), one delta per
+    * micro-batch, NAMED by the batch id so foreachBatch's at-least-once
+    * replays are idempotent (a committed tag skips; a tag consumed by an
+    * ivfCompact fold fails loudly — the posting segment replay guard's
+    * twin). Probes see each batch as soon as its marker lands; the
+    * occasional `ivfCompact` folds the accumulated deltas into a retrained
+    * epoch, exactly as `compact` folds posting segments.
+    */
+  def startIvfAppend(spark: SparkSession, srcDir: String, ivfDir: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        // foreachBatch hands a Dataset bound to the stream's CLONED session
+        // — run the append against that session, not the outer one
+        if (!batch.isEmpty)
+          graft.ops.Similarity.ivfAppend(batch.sparkSession, ivfDir, batch.toDF(),
+            batchTag = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** One micro-batch → one complete, searchable posting segment.
     * Deterministic within a batch: docIds are the dense rank of
     * (repo, path, commit) from the two-pass assignDocIds (NO global

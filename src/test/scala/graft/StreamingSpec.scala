@@ -57,6 +57,52 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(h.segmentDirs.size == before)
   }
 
+  test("continuous ANN ingest: streamed IVF appends are probe-visible, checkpointed, replay-idempotent") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val base = tmpDir("graft-ivfstream-base")
+    val src = tmpDir("graft-ivfstream-src")
+    val ckp = tmpDir("graft-ivfstream-ckp")
+    Similarity.synthEmbeddings(spark, base, 800L, 16, centers = 20)
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    val ivf = s"$base/ivf"
+    Similarity.buildIvfFrom(spark, e.filter($"vec_id" < 600), ivf, 8)
+    def writeVecs(lo: Long, hi: Long): Unit =
+      e.filter($"vec_id" >= lo && $"vec_id" < hi).coalesce(1)
+        .write.mode("append").parquet(src)
+    writeVecs(600, 700)
+    val q1 = StreamingIngest.startIvfAppend(spark, src, ivf, ckp)
+    q1.processAllAvailable(); q1.stop()
+    val q = e.filter($"vec_id" === 0L).select($"embedding").as[Array[Float]].head()
+    def probeIds() = Similarity.ivfProbe(spark, ivf, q, 0L, 1000, 8).collect()
+      .map(_.getLong(0)).toSet
+    assert(probeIds() == (1L until 700L).toSet,
+      "streamed batch must be probe-visible immediately")
+    // restart with one more file: only the new file is processed, no dups
+    writeVecs(700, 800)
+    val q2 = StreamingIngest.startIvfAppend(spark, src, ivf, ckp)
+    q2.processAllAvailable(); q2.stop()
+    val stored = (Seq(s"$ivf/emb") ++ graft.index.Fs.listDirs(ivf)
+        .filter(d => graft.index.Fs.name(d).startsWith("append-"))
+        .map(_ + "/emb"))
+      .map(p => spark.read.parquet(p).select($"vec_id"))
+      .reduce(_ unionByName _).as[Long].collect()
+    assert(stored.length == 800 && stored.distinct.length == 800,
+      "replayed/resumed stream must not duplicate vectors")
+    // a direct same-tag replay (at-least-once) is a committed no-op
+    Similarity.ivfAppend(spark, ivf, e.filter($"vec_id" >= 600 && $"vec_id" < 700),
+      batchTag = Some(0L))
+    assert(probeIds() == (1L until 800L).toSet)
+    // ...and a tag replayed AFTER its fold fails loudly instead of duplicating
+    Similarity.ivfCompact(spark, ivf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(spark, ivf, e.filter($"vec_id" >= 600 && $"vec_id" < 700),
+        batchTag = Some(0L))
+    }
+    assert(ex.getMessage.contains("folded"))
+    assert(probeIds() == (1L until 800L).toSet)
+  }
+
   test("replayed micro-batch (at-least-once foreachBatch) is idempotent by batchId") {
     import spark.implicits._
     val idx = tmpDir("graft-replay-idx")
