@@ -168,6 +168,21 @@ object Bench {
       }
       results += "bm25_warm_p50" -> pct(warmLat, 0.50)
 
+      // search_after page 2 (cursor = last row of page 1): the claim under
+      // test is that a later page costs ~one page-1 query — a cursor-bounded
+      // collector pass + TakeOrdered(k), never a top-2k re-run or global sort
+      {
+        val p1 = Searcher.searchAfter(spark, h, "merge window",
+          Long.MaxValue, -1L, 10).collect()
+        if (p1.nonEmpty) {
+          val (cs, cd) = (p1.last.getLong(1), p1.last.getLong(0))
+          Searcher.searchAfter(spark, h, "merge window", cs, cd, 10).collect() // warm
+          val (_, p2) = timed(
+            Searcher.searchAfter(spark, h, "merge window", cs, cd, 10).collect())
+          results += "bm25_search_after_p2" -> p2
+        }
+      }
+
       // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
       // the adaptive coordinator path masks it at this scale, so measure it
       // explicitly — this is the plan that runs on a hot term at 100 TB
