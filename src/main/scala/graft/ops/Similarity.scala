@@ -342,13 +342,25 @@ object Similarity {
     key.startsWith(s"$dir|") || key.startsWith(s"$dir/")
 
   /** Evict every cached centroid/FileIndex/delete-set entry derived from
-    * `dir`.
+    * `dir` — the rebuild/fold eviction (the quantizer itself changed).
     */
-  private def evictIvfCaches(dir: String): Unit =
+  private def evictIvfCaches(dir: String): Unit = {
+    evictIvfDataCaches(dir)
     SparkSession.getActiveSession.foreach { s =>
       ivfCentroidCache(s).keys.filter(keyOfDir(dir)).foreach(ivfCentroidCache(s).remove)
+    }
+  }
+
+  /** Evict the layout/delete-set caches only — the append/tombstone
+    * eviction: those commits change what the FileIndex covers and what is
+    * deleted, but never the frozen coarse quantizer, which stays cached so
+    * a streamed 1 s-cadence append pays no per-batch centroid collect.
+    */
+  private def evictIvfDataCaches(dir: String): Unit =
+    SparkSession.getActiveSession.foreach { s =>
       ivfEmbCache(s).keys.filter(keyOfDir(dir)).foreach(ivfEmbCache(s).remove)
-      ivfTombCache(s).keys.filter(keyOfDir(dir)).foreach(ivfTombCache(s).remove)
+      ivfTombCache(s).keys.filter(keyOfDir(dir)).foreach(k =>
+        ivfTombCache(s).remove(k).foreach(_.unpersist(blocking = false)))
     }
 
   /** Build (or resume) an IVF index: k-means-style coarse quantizer
@@ -465,7 +477,7 @@ object Similarity {
     * rebuild, the ANN analog of the posting index's epoch fold).
     */
   def ivfAppend(spark: SparkSession, dir: String, newEmb: DataFrame,
-                batchTag: Option[Long] = None): Unit = {
+                batchTag: Option[String] = None): Unit = {
     import spark.implicits._
     // Under the shared maintenance lock: an append's list_id assignment is
     // only valid against the centroids of the root it lands in — a fold
@@ -479,22 +491,25 @@ object Similarity {
       require(graft.index.Fs.exists(s"$root/_DONE"),
         s"no IVF index at $dir — buildIvf first")
       // `batchTag` = streaming-ingest mode (startIvfAppend): the delta is
-      // NAMED by the micro-batch id, making the commit IDEMPOTENT under
-      // foreachBatch's at-least-once replays — a committed tag skips, and
-      // a tag consumed by a previous fold fails loudly (the posting
-      // segment replay guard's twin: silently re-appending would duplicate
-      // every vector of the batch)
-      val tagged = batchTag.map(b => f"append-b$b%06d")
-      // a committed tag = a replayed micro-batch: skip (idempotent)
-      if (!tagged.exists(n => graft.index.Fs.exists(s"$root/$n/_DONE"))) {
-        tagged.foreach { name =>
-          require(!foldedAppendsAt(root).contains(name),
-            s"append tag $name was folded by a previous ivfCompact — a " +
-              "replay this late means the stream checkpoint was deleted; " +
-              "re-ingest against a fresh checkpoint or drop the index")
-        }
-        val centroids: Array[Array[Double]] = spark.read.parquet(s"$root/centroids")
-          .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+      // NAMED by the (stream-namespaced) micro-batch tag, making the
+      // commit IDEMPOTENT under foreachBatch's at-least-once replays — a
+      // committed tag skips, and so does a tag already consumed by an
+      // ivfCompact fold (the crash-between-delta-commit-and-checkpoint
+      // window followed by a fold and a restart: the batch's vectors are
+      // provably in the folded epoch, because file-source batch replays
+      // are deterministic; failing here would wedge a healthy stream).
+      // Cross-STREAM tag collisions are prevented upstream: the tag
+      // carries a checkpoint-derived namespace (StreamingIngest.ivfBatchTag).
+      val tagged = batchTag.map(b => s"append-b$b")
+      val alreadyIn = tagged.exists(n =>
+        graft.index.Fs.exists(s"$root/$n/_DONE") ||
+          foldedAppendsAt(root).contains(n))
+      if (!alreadyIn) {
+        // the frozen coarse quantizer is cached per root (centroids change
+        // only on rebuild/fold, never per append) — a 1 s-cadence streamed
+        // append must not pay a collect job per micro-batch
+        val centroids: Array[Array[Double]] =
+          quantizerAt(spark, dir, root).map(_._2)
         val bc = spark.sparkContext.broadcast(centroids)
         // untagged mode: reserve the delta name ATOMICALLY (claim file);
         // the _DONE guard makes claim GC safe — a K whose delta committed
@@ -521,10 +536,10 @@ object Similarity {
         graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-append") {
           graft.index.Fs.touch(s"$out/_DONE")
         }
-        // the commit changed the cache fingerprint: drop entries under the
-        // old keys (the centroid values are unchanged, but stale keys
-        // would accumulate one dead entry per append)
-        evictIvfCaches(dir)
+        // the commit changed the cache fingerprint: drop layout/delete
+        // entries under the old keys (the quantizer cache survives — its
+        // values cannot change on an append)
+        evictIvfDataCaches(dir)
       }
     }
   }
@@ -568,32 +583,64 @@ object Similarity {
               s"column; got (${vecIds.columns.mkString(", ")})")
           vecIds.columns.head
         }
-      val k = graft.index.Fs.listDirs(root).map(graft.index.Fs.name)
+      // same claim + _DONE-recheck name discipline as ivfAppend: a holder
+      // resumed after its lock was broken as stale must never Fs.delete a
+      // peer's COMMITTED delta minted under the same K — the claim makes
+      // the reservation atomic, the _DONE check skips consumed names
+      var k = graft.index.Fs.listDirs(root).map(graft.index.Fs.name)
         .flatMap(_.stripPrefix("del-").toLongOption)
         .foldLeft(0L)(math.max) + 1
+      while (graft.index.Fs.exists(f"$root/del-$k%06d/_DONE") ||
+          !graft.index.Fs.tryCreateNew(f"$root/del-$k%06d.claim")) k += 1
       val out = f"$root/del-$k%06d"
-      graft.index.Fs.delete(out) // stale crashed attempt
+      graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
       vecIds.select(col(idCol).cast("long").as("vec_id"))
         .distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$out/ids")
       graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-tombstone") {
         graft.index.Fs.touch(s"$out/_DONE") // marker LAST
       }
-      evictIvfCaches(dir)
+      evictIvfDataCaches(dir)
     }
   }
 
-  /** Collected SORTED delete set for a pinned root (empty ⇒ zero jobs). */
-  private def ivfTombstonesAt(spark: SparkSession, dir: String, root: String,
-                              key: String): Array[Long] = {
+  /** Broadcast SORTED delete set for a pinned root — cached per
+    * (root, _DONE mtime, delete-delta list) and unpersisted on eviction:
+    * one driver→executor transfer per delete-set state, not one per probe
+    * (the Searcher.tombstonesBc pattern). None ⇔ no deletes (zero jobs,
+    * zero broadcasts, no per-row filter).
+    */
+  private def ivfTombBcAt(spark: SparkSession, dir: String, root: String)
+      : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
     val dirs = ivfDelDirsAt(root)
-    if (dirs.isEmpty) return Array.emptyLongArray
+    if (dirs.isEmpty) return None
+    val key = s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}|tombs" +
+      s"|${dirs.map(graft.index.Fs.name).sorted.mkString(",")}"
     val m = ivfTombCache(spark)
-    m.getOrElseUpdate(key, {
-      m.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(m.remove)
+    Some(m.getOrElseUpdate(key, {
+      m.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(k =>
+        m.remove(k).foreach(_.unpersist(blocking = false)))
       import spark.implicits._
-      spark.read.parquet(dirs.map(_ + "/ids"): _*)
-        .select(col("vec_id")).distinct().as[Long].collect().sorted
+      spark.sparkContext.broadcast(
+        spark.read.parquet(dirs.map(_ + "/ids"): _*)
+          .select(col("vec_id")).distinct().as[Long].collect().sorted)
+    }))
+  }
+
+  /** The frozen coarse quantizer for a pinned root, cached per
+    * (root, _DONE mtime) — centroids change only on rebuild/fold, never on
+    * append/delete commits, so streamed appends and probes share one
+    * resident copy with zero per-call jobs.
+    */
+  private def quantizerAt(spark: SparkSession, dir: String,
+                          root: String): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val qKey = s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}|quantizer"
+    val cc = ivfCentroidCache(spark)
+    cc.getOrElseUpdate(qKey, {
+      cc.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != qKey).foreach(cc.remove)
+      spark.read.parquet(s"$root/centroids")
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
     })
   }
 
@@ -801,9 +848,11 @@ object Similarity {
   // per query)
   private val ivfCentroidCache = new graft.SessionCache[Array[(Int, Array[Double])]]
   private val ivfEmbCache = new graft.SessionCache[DataFrame]
-  // per-fingerprint SORTED deleted-vec_id array (ivfTombstone) — a delete
-  // commit advances the fingerprint and invalidates
-  private val ivfTombCache = new graft.SessionCache[Array[Long]]
+  // per-fingerprint BROADCAST of the sorted deleted-vec_id set
+  // (ivfTombstone) — a delete commit advances the fingerprint and
+  // invalidates (stale broadcasts unpersisted)
+  private val ivfTombCache =
+    new graft.SessionCache[org.apache.spark.broadcast.Broadcast[Array[Long]]]
 
   /** IVF ANN top-k: rank the (tiny, resident) centroid table by cosine to
     * the query, probe the nprobe nearest lists, exact-rescore only those
@@ -832,13 +881,7 @@ object Similarity {
     // centroids with another epoch's list_id layout
     val root = ivfRoot(dir)
     val key = ivfKeyAt(root)
-    val cc = ivfCentroidCache(spark)
-    val centroids = cc.getOrElseUpdate(key, {
-      // evict this dir's stale fingerprints (append/fold advanced the key)
-      cc.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(cc.remove)
-      spark.read.parquet(s"$root/centroids")
-        .as[(Int, Array[Double])].collect().sortBy(_._1)
-    })
+    val centroids = quantizerAt(spark, dir, root)
     val probeLists: Seq[Int] = centroids.map { case (l, c) =>
       var dot = 0.0; var nv = 0.0; var nc = 0.0
       var i = 0
@@ -848,20 +891,24 @@ object Similarity {
       (l, dot / (math.sqrt(nv) * math.sqrt(nc)))
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
     val bq = spark.sparkContext.broadcast(q)
-    // delete set for THIS fingerprint (ivfTombstone): tombstoned vectors
-    // vanish from results immediately; physically purged at the next fold
-    val bDead = spark.sparkContext.broadcast(ivfTombstonesAt(spark, dir, root, key))
+    // delete set for THIS state (ivfTombstone): tombstoned vectors vanish
+    // from results immediately; physically purged at the next fold. The
+    // broadcast is cached per delete-set fingerprint — and absent entirely
+    // (no per-row filter) on an index with no deletes.
+    val bDead = ivfTombBcAt(spark, dir, root)
     val ec = ivfEmbCache(spark)
-    ec.getOrElseUpdate(key, {
+    val scanned = ec.getOrElseUpdate(key, {
         ec.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(ec.remove)
         ivfEmbAt(spark, root)
       })
       .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .filter(t => {
-        val dead = bDead.value
-        dead.isEmpty || java.util.Arrays.binarySearch(dead, t._1) < 0
-      })
+    val live = bDead match {
+      case None => scanned
+      case Some(b) =>
+        scanned.filter(t => java.util.Arrays.binarySearch(b.value, t._1) < 0)
+    }
+    live
       .map { case (id, v) => (id, cosine(bq.value, v)) }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))

@@ -98,6 +98,17 @@ object StreamingIngest {
     * occasional `ivfCompact` folds the accumulated deltas into a retrained
     * epoch, exactly as `compact` folds posting segments.
     */
+  /** Stream-namespaced delta tag: two concurrent ingest streams (distinct
+    * checkpoints) into ONE IVF index must not collide on bare batch ids —
+    * a colliding tag would make the second stream's batch look like a
+    * replay and be silently skipped (data loss, not idempotence). The
+    * checkpoint path IS the stream's identity, so its hash namespaces the
+    * tag; within one checkpoint, replays keep the same tag and stay
+    * idempotent.
+    */
+  def ivfBatchTag(checkpointDir: String, batchId: Long): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointDir) & 0x7fffffff}%08x-$batchId%06d"
+
   def startIvfAppend(spark: SparkSession, srcDir: String, ivfDir: String,
                      checkpointDir: String,
                      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
@@ -118,7 +129,7 @@ object StreamingIngest {
         // — run the append against that session, not the outer one
         if (!batch.isEmpty)
           graft.ops.Similarity.ivfAppend(batch.sparkSession, ivfDir, batch.toDF(),
-            batchTag = Some(batchId))
+            batchTag = Some(ivfBatchTag(checkpointDir, batchId)))
         ()
       }
       .start()

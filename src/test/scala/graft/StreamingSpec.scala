@@ -90,17 +90,21 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(stored.length == 800 && stored.distinct.length == 800,
       "replayed/resumed stream must not duplicate vectors")
     // a direct same-tag replay (at-least-once) is a committed no-op
+    val tag0 = StreamingIngest.ivfBatchTag(ckp, 0L)
     Similarity.ivfAppend(spark, ivf, e.filter($"vec_id" >= 600 && $"vec_id" < 700),
-      batchTag = Some(0L))
+      batchTag = Some(tag0))
     assert(probeIds() == (1L until 800L).toSet)
-    // ...and a tag replayed AFTER its fold fails loudly instead of duplicating
+    // ...and a tag replayed AFTER its fold is ALSO a no-op: the crash
+    // window between a delta commit and the checkpoint commit, followed by
+    // a fold and a restart, is legitimate at-least-once — the batch's
+    // vectors are provably in the folded epoch (folded_appends), so the
+    // replay must neither duplicate them nor wedge the stream
     Similarity.ivfCompact(spark, ivf)
-    val ex = intercept[IllegalArgumentException] {
-      Similarity.ivfAppend(spark, ivf, e.filter($"vec_id" >= 600 && $"vec_id" < 700),
-        batchTag = Some(0L))
-    }
-    assert(ex.getMessage.contains("folded"))
+    Similarity.ivfAppend(spark, ivf, e.filter($"vec_id" >= 600 && $"vec_id" < 700),
+      batchTag = Some(tag0))
     assert(probeIds() == (1L until 800L).toSet)
+    // a different stream (different checkpoint) never collides on tags
+    assert(StreamingIngest.ivfBatchTag(s"$ckp-other", 0L) != tag0)
   }
 
   test("replayed micro-batch (at-least-once foreachBatch) is idempotent by batchId") {
