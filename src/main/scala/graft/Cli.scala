@@ -222,6 +222,28 @@ object Cli {
         println(f"$s%-10s $r%12d $mn%12d $mx%12d $b%12d $p%5d")
       }
 
+    case "decontaminate-emb" :: corpusDir :: refDir :: rest =>
+      // the SEMANTIC decontamination tier over embeddings tables;
+      // --tombstone <ivfDir> feeds the drop set into the ANN delete path
+      // (the ivfTombstone enforcement wiring, mirroring text-tier
+      // `decontaminate --tombstone`)
+      import org.apache.spark.sql.functions.col
+      val t = opt(rest, "--threshold", "0.9").toDouble
+      val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      val ref = spark.read.parquet(s"$refDir/embeddings.parquet")
+      val drop = graft.ops.Similarity.decontaminateEmbeddings(spark, corpus, ref, t)
+        .select(col("vec_id")).distinct()
+      opt(rest, "--tombstone", "") match {
+        case "" =>
+          val ids = drop.collect().map(_.getLong(0)).sorted
+          println(s"${ids.length} contaminated vector(s) in $corpusDir vs $refDir (cos >= $t)")
+          ids.take(20).foreach(id => println(f"  $id%12d"))
+        case ivfDir =>
+          graft.ops.Similarity.ivfTombstone(spark, ivfDir, drop)
+          println(s"ivf-tombstoned contaminated vectors in $ivfDir — " +
+            "hidden from probes immediately, purged at the next `ivf-compact`")
+      }
+
     case "search" :: indexDir :: k :: rest =>
       val conj = flag(rest, "--and")
       val after = opt(rest, "--after", "")
@@ -303,6 +325,7 @@ object Cli {
            |       ivf-tombstone <ivfDir> <vecIdsParquet> |
            |       tombstone <dir> <docIdsParquet> | tombstone <dir> --dedup <srcDir> |
            |       decontaminate <corpusDir> <refDir> [--threshold t] [--tombstone <indexDir>] |
+           |       decontaminate-emb <corpusDir> <refDir> [--threshold t] [--tombstone <ivfDir>] |
            |       search <dir> <k> <terms...> [--and] [--after scoreQ:docId]""".stripMargin)
   }
 }

@@ -157,6 +157,31 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(graft.index.IndexBuilder.openHandle(idx2).mode == graft.analyze.Analyzer.Simple)
   }
 
+  test("cli decontaminate-emb --tombstone: contaminated vectors vanish from IVF probes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpusDir = tmpDir("graft-cli-demb-c")
+    val refDir = tmpDir("graft-cli-demb-r")
+    // ref = an exact copy of a corpus slice (cos 1.0 contamination)
+    graft.ops.Similarity.synthEmbeddings(spark, corpusDir, 300L, 16, centers = 10)
+    spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0)
+      .write.mode("overwrite").parquet(s"$refDir/embeddings.parquet")
+    val ivf = s"$corpusDir/ivf"
+    graft.ops.Similarity.buildIvfFrom(spark,
+      spark.read.parquet(s"$corpusDir/embeddings.parquet"), ivf, 8)
+    Cli.run(spark, Seq("decontaminate-emb", corpusDir, refDir,
+      "--threshold", "0.99", "--tombstone", ivf))
+    val q = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 1L).select(col("embedding"))
+      .as[Array[Float]].head()
+    val ids = graft.ops.Similarity.ivfProbe(spark, ivf, q, 1L, 1000, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 300L by 50L).forall(!ids.contains(_)),
+      "contaminated (ref-identical) vectors must be tombstoned out of probes")
+    assert(ids.contains(2L))
+  }
+
   test("cli search infers the persisted analyzer mode (code-mode index)") {
     val idx = tmpDir("graft-cli-code-idx")
     new java.io.File(idx).delete()
