@@ -345,22 +345,26 @@ object Similarity {
     * `dir` — the rebuild/fold eviction (the quantizer itself changed).
     */
   private def evictIvfCaches(dir: String): Unit = {
-    evictIvfDataCaches(dir)
+    evictIvfDataCaches(dir, tombs = true)
     SparkSession.getActiveSession.foreach { s =>
       ivfCentroidCache(s).keys.filter(keyOfDir(dir)).foreach(ivfCentroidCache(s).remove)
     }
   }
 
-  /** Evict the layout/delete-set caches only — the append/tombstone
-    * eviction: those commits change what the FileIndex covers and what is
-    * deleted, but never the frozen coarse quantizer, which stays cached so
-    * a streamed 1 s-cadence append pays no per-batch centroid collect.
+  /** Evict the layout cache (and, iff the delete set changed, the
+    * tombstone-broadcast cache) — the append/tombstone eviction: those
+    * commits never touch the frozen coarse quantizer, which stays cached
+    * so a streamed 1 s-cadence append pays no per-batch centroid collect;
+    * and an APPEND cannot change the delete set either, so it must not
+    * evict the delete broadcast (a standing delete set under streamed
+    * ingest would otherwise re-collect + re-broadcast per micro-batch).
     */
-  private def evictIvfDataCaches(dir: String): Unit =
+  private def evictIvfDataCaches(dir: String, tombs: Boolean): Unit =
     SparkSession.getActiveSession.foreach { s =>
       ivfEmbCache(s).keys.filter(keyOfDir(dir)).foreach(ivfEmbCache(s).remove)
-      ivfTombCache(s).keys.filter(keyOfDir(dir)).foreach(k =>
-        ivfTombCache(s).remove(k).foreach(_.unpersist(blocking = false)))
+      if (tombs)
+        ivfTombCache(s).keys.filter(keyOfDir(dir)).foreach(k =>
+          ivfTombCache(s).remove(k).foreach(_.unpersist(blocking = false)))
     }
 
   /** Build (or resume) an IVF index: k-means-style coarse quantizer
@@ -537,9 +541,9 @@ object Similarity {
           graft.index.Fs.touch(s"$out/_DONE")
         }
         // the commit changed the cache fingerprint: drop layout/delete
-        // entries under the old keys (the quantizer cache survives — its
-        // values cannot change on an append)
-        evictIvfDataCaches(dir)
+        // entries under the old keys (the quantizer and delete-set caches
+        // survive — neither can change on an append)
+        evictIvfDataCaches(dir, tombs = false)
       }
     }
   }
@@ -597,10 +601,19 @@ object Similarity {
       vecIds.select(col(idCol).cast("long").as("vec_id"))
         .distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$out/ids")
-      graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-tombstone") {
-        graft.index.Fs.touch(s"$out/_DONE") // marker LAST
+      // an EMPTY delete set (the clean-corpus decontamination case) must
+      // not commit: it would advance the fingerprint, put a per-row filter
+      // on every probe, and make the next fold do a full retrain with
+      // nothing to purge — drop the delta instead (the count reads the
+      // tiny just-written file, not the caller's possibly-expensive plan)
+      if (spark.read.parquet(s"$out/ids").limit(1).count() == 0L) {
+        graft.index.Fs.delete(out)
+      } else {
+        graft.index.Compactor.verifyOwnedThen(dir, tok, "ivf-tombstone") {
+          graft.index.Fs.touch(s"$out/_DONE") // marker LAST
+        }
+        evictIvfDataCaches(dir, tombs = true)
       }
-      evictIvfDataCaches(dir)
     }
   }
 
@@ -614,28 +627,45 @@ object Similarity {
       : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] = {
     val dirs = ivfDelDirsAt(root)
     if (dirs.isEmpty) return None
-    val key = s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}|tombs" +
+    // keyed on the centroids' CONTENT stamp, not the _DONE mtime: a
+    // same-tick delete+rebuild of the dir must miss (the SessionCache
+    // coarse-mtime staleness class, ADVICE r4)
+    val key = s"$root|${graft.index.Fs.sourceStamp(s"$root/centroids")}|tombs" +
       s"|${dirs.map(graft.index.Fs.name).sorted.mkString(",")}"
     val m = ivfTombCache(spark)
-    Some(m.getOrElseUpdate(key, {
-      m.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(k =>
-        m.remove(k).foreach(_.unpersist(blocking = false)))
+    m.get(key).orElse {
+      // build-then-putIfAbsent (NOT getOrElseUpdate): TrieMap may evaluate
+      // a racing default twice, and a losing broadcast would leak — the
+      // loser here unpersists itself and adopts the winner
       import spark.implicits._
-      spark.sparkContext.broadcast(
+      val fresh = spark.sparkContext.broadcast(
         spark.read.parquet(dirs.map(_ + "/ids"): _*)
           .select(col("vec_id")).distinct().as[Long].collect().sorted)
-    }))
+      m.putIfAbsent(key, fresh) match {
+        case None =>
+          m.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != key).foreach(k =>
+            m.remove(k).foreach(_.unpersist(blocking = false)))
+          Some(fresh)
+        case Some(winner) =>
+          fresh.unpersist(blocking = false)
+          Some(winner)
+      }
+    }
   }
 
   /** The frozen coarse quantizer for a pinned root, cached per
-    * (root, _DONE mtime) — centroids change only on rebuild/fold, never on
-    * append/delete commits, so streamed appends and probes share one
-    * resident copy with zero per-call jobs.
+    * (root, centroids content stamp) — centroids change only on
+    * rebuild/fold, never on append/delete commits, so streamed appends and
+    * probes share one resident copy with zero per-call jobs; the content
+    * stamp (not the coarse `_DONE` mtime) also covers a same-tick
+    * delete+rebuild reaching a session — e.g. the foreachBatch CLONE
+    * session, whose cache map an active-session eviction cannot reach —
+    * purely through the key.
     */
   private def quantizerAt(spark: SparkSession, dir: String,
                           root: String): Array[(Int, Array[Double])] = {
     import spark.implicits._
-    val qKey = s"$root|${graft.index.Fs.mtime(s"$root/_DONE")}|quantizer"
+    val qKey = s"$root|${graft.index.Fs.sourceStamp(s"$root/centroids")}|quantizer"
     val cc = ivfCentroidCache(spark)
     cc.getOrElseUpdate(qKey, {
       cc.keys.filter(k2 => keyOfDir(dir)(k2) && k2 != qKey).foreach(cc.remove)
@@ -706,8 +736,9 @@ object Similarity {
             "instead")
         buildIvfFrom(spark, union, newRoot, nLists, iters)
         // record the consumed append names (carried forward) BEFORE the
-        // flip: a streaming batch tag replayed after its fold must fail
-        // loudly, not silently duplicate its vectors (ivfAppend's guard)
+        // flip: a streaming batch tag replayed after its fold is SKIPPED
+        // by ivfAppend (its vectors are provably in this epoch) — without
+        // this ledger the replay would re-append and duplicate them
         graft.index.Fs.writeString(s"$newRoot/folded_appends",
           (foldedAppendsAt(root) ++ appends.map(graft.index.Fs.name))
             .toSeq.sorted.mkString("\n"))

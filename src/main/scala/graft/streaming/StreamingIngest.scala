@@ -102,12 +102,26 @@ object StreamingIngest {
     * checkpoints) into ONE IVF index must not collide on bare batch ids —
     * a colliding tag would make the second stream's batch look like a
     * replay and be silently skipped (data loss, not idempotence). The
-    * checkpoint path IS the stream's identity, so its hash namespaces the
-    * tag; within one checkpoint, replays keep the same tag and stay
-    * idempotent.
+    * namespace is a RUN ID minted once INSIDE the checkpoint dir (not a
+    * hash of the path string): it survives restarts — replays keep their
+    * tag and stay idempotent — but dies with the checkpoint, so a
+    * deleted-and-recreated checkpoint gets a fresh namespace whose batches
+    * can never be mistaken for the old lineage's folded tags (a path hash
+    * would silently skip them), and path spellings don't matter (the id is
+    * read from the directory, however it was named).
     */
   def ivfBatchTag(checkpointDir: String, batchId: Long): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointDir) & 0x7fffffff}%08x-$batchId%06d"
+    f"${ivfStreamRunId(checkpointDir)}-$batchId%06d"
+
+  private[graft] def ivfStreamRunId(checkpointDir: String): String = {
+    val p = s"$checkpointDir/graft-ivf-runid"
+    graft.index.Fs.readString(p).map(_.trim).getOrElse {
+      // two racing starts on one checkpoint dir are invalid in Structured
+      // Streaming anyway; re-reading after the write converges them
+      graft.index.Fs.writeString(p, java.util.UUID.randomUUID().toString.take(8))
+      graft.index.Fs.readString(p).get.trim
+    }
+  }
 
   def startIvfAppend(spark: SparkSession, srcDir: String, ivfDir: String,
                      checkpointDir: String,
