@@ -36,6 +36,29 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Single-thread pure-CPU calibration lap (400M xorshift64 steps, zero
+    * allocation, best of 2): a fixed unit of work whose wall time moves
+    * ONLY with host speed/steal — Spark numbers can't separate "engine
+    * slower" from "host slower", this can. Nominal ≈0.4 s on this box;
+    * emitted per phase so a line where the QUERY phase ran on a depressed
+    * host is flaggable even when the scaling phase was clean (the round-5
+    * line-6 mode: every query ~1.5× slow, scaling marker quiet).
+    */
+  private def cpuLap(): Double = {
+    def one(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 400000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(one(), one())
+  }
+
+  /** cpuLap ceiling before a phase counts as disturbed (~2.5× nominal). */
+  val CpuLapMaxSec = 1.0
+
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -103,6 +126,7 @@ object Bench {
     val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
 
     // --- 1. scaling ---------------------------------------------------------
+    val lapPre = cpuLap()
     val wide = math.min(32, cpus)
     // 7 rounds (1 warm-up + 6 measured): the median over 6 within-round
     // pairs is stable against the ±0.04 run-to-run bounce this shared host
@@ -133,7 +157,10 @@ object Bench {
     val thr2Hi = 11500.0
     val thr2All = roundsThr.map(_(2))
     val thr2Spread = thr2All.max / math.max(thr2All.min, 1e-9)
-    val hostDisturbed = thr2 < thr2Lo || thr2 > thr2Hi || thr2Spread > 1.6
+    // mid-run calibration: the query phase below runs minutes after the
+    // scaling phase — its host window is bracketed by this lap and a
+    // post-phase lap (hostDisturbed folds all three in, below)
+    val lapMid = cpuLap()
 
     // --- 2. sf-corpus index + query latencies -------------------------------
     val spark = newSession(cpus)
@@ -271,6 +298,9 @@ object Bench {
         results += name -> secs
       }
     } finally spark.stop()
+    val lapPost = cpuLap() // brackets the query phase from the other side
+    val hostDisturbed = thr2 < thr2Lo || thr2 > thr2Hi || thr2Spread > 1.6 ||
+      lapPre > CpuLapMaxSec || lapMid > CpuLapMaxSec || lapPost > CpuLapMaxSec
 
     val qs = results.map { case (k, v) => s""""$k":${j(v)}""" }
       .mkString("{", ",", "}")
@@ -284,6 +314,7 @@ object Bench {
         s""""docs_per_sec_32":${j(thr32)},"efficiency_8_32":${j(eff832)},""" +
         s""""efficiency":${j(eff28)},""" +
         s""""thr2_envelope":"$thr2Lo-$thr2Hi","thr2_spread":${j(thr2Spread)},""" +
+        s""""cpu_lap_pre":${j(lapPre)},"cpu_lap_mid":${j(lapMid)},"cpu_lap_post":${j(lapPost)},""" +
         s""""host_disturbed":$hostDisturbed,""" +
         s""""note":"4N threads in one JVM share one memory controller; 4N cluster executors do not - see BENCH/BASELINE.md"}"""
     val line =
