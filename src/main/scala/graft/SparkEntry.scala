@@ -96,6 +96,35 @@ object SparkEntry {
 
   private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
 
+  /** BM25 where the term set comes from a QUERY-REWRITE CTE (named `xp`,
+    * one column `term`) instead of a literal list — the oracle shape shared
+    * by fuzzy search (xp = levenshtein expansion of the probe tokens) and
+    * more-like-this (xp = the source doc's top tf·idf terms). `scoreWhere`
+    * further restricts scored rows (MLT excludes the source doc).
+    */
+  private def bm25ExpandedSql(xpCte: String, scoreWhere: String = "TRUE"): String =
+    s"""WITH dsrc AS (SELECT * FROM documents WHERE TRUE),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+       |  FROM dsrc
+       |), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM dsrc)::DOUBLE AS n,
+       |                 (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM dsrc)::DOUBLE AS avgdl),
+       |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1),
+       |$xpCte,
+       |scores AS (
+       |  SELECT tft.doc_id AS doc_id,
+       |         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |              * tft.tf / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+       |  FROM tft
+       |  JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE tft.term IN (SELECT term FROM xp) AND ($scoreWhere)
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+       |FROM scores ORDER BY score_q DESC, doc_id""".stripMargin
+
   /** Brute-force cosine top-20 from vec 0 — the oracle shared by every
     * exact-equivalent ANN entry (ann_cosine_topk, and the exhaustive-probe
     * IVF identities ann_ivf_topk / ann_ivf_append_topk): one SQL string, so
@@ -318,6 +347,41 @@ object SparkEntry {
           .limit(10)
       }
     },
+    // prefix suggest (ES terms-prefix / completion analog): top-10
+    // dictionary terms under the prefix by df — ONE pruned scan of the
+    // term-sorted termstats table (StringStartsWith pushes down), ties by
+    // term asc (Lexicon.suggest)
+    "ft_prefix_suggest" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      graft.query.Lexicon.suggest(s, h, "s", 10)
+    },
+    // fuzzy search (ES match + fuzziness): BOTH probe tokens are
+    // out-of-vocabulary typos ("spork", "strean"); the SymSpell deletion
+    // dictionary expands them to their edit-distance-≤1 vocabulary
+    // neighbors and the union scores as a disjunctive BM25 query. The
+    // max_expansions cap (1000) provably never binds on this corpus, so
+    // the oracle is the UNCAPPED SQL expansion via levenshtein().
+    "ft_fuzzy_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Lexicon.fuzzySearch(s, h, "spork strean", Int.MaxValue,
+          maxDist = 1, maxExpansions = 1000).toDF())
+    },
+    // more-like-this (ES more_like_this): the source doc's top-5 terms by
+    // QUANTIZED tf·idf (ties by term asc — reproducible across engines)
+    // become a disjunctive BM25 query; the source doc itself is excluded
+    // from the results, not from the corpus stats (ES semantics).
+    "ft_more_like_this" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val srcId = 7L
+      val text = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") === srcId).select(col("text")).head().getString(0)
+      Engine.hitsAsDocIds(s, h,
+          graft.query.Lexicon.moreLikeThis(s, h, text, topTerms = 5).toDF(),
+          ranked = false)
+        .filter(col("doc_id") =!= srcId)
+        .orderBy(desc("score_q"), col("doc_id"))
+    },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
     // when the index has no positions; ft_phrase_positional is the
@@ -345,6 +409,14 @@ object SparkEntry {
     "agg_range" -> ((s, d) => Aggs.rangeAgg(s, d)),
     "agg_count_range" -> ((s, d) => Aggs.countRange(s, d)),
     "agg_first_last" -> ((s, d) => Aggs.firstLast(s, d)),
+    // ES percentiles agg, exact-rank semantics (value at rank
+    // floor((n-1)·p) per group — ES's own t-digest is approximate and
+    // un-oracle-able; Aggs.cardinalityApprox/percentile sketch parity is
+    // spec-tested instead)
+    "agg_percentiles" -> ((s, d) => Aggs.percentiles(s, d)),
+    // ES cardinality agg (exact form; the HLL++ sketch variant is
+    // Aggs.cardinalityApprox, spec-tested within its rsd bound)
+    "agg_cardinality" -> ((s, d) => Aggs.cardinality(s, d)),
     "win_gap_detect" -> ((s, d) => Aggs.gapDetect(s, d)),
     "agg_range_reconcile" -> ((s, d) => Aggs.rangeReconcile(s, d)),
     "join_revenue" -> ((s, d) => Aggs.joinRevenue(s, d)),
@@ -530,6 +602,29 @@ object SparkEntry {
          |WHERE s.score_q < c.score_q
          |   OR (s.score_q = c.score_q AND s.doc_id > c.doc_id)
          |ORDER BY s.score_q DESC, s.doc_id LIMIT 10""".stripMargin,
+    // prefix suggest: dictionary df under the prefix, ties by term asc
+    "ft_prefix_suggest" ->
+      s"""WITH $toksCte
+         |SELECT term, count(DISTINCT doc_id) AS df FROM t2
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // fuzzy: the UNCAPPED SQL expansion — every vocab term within
+    // levenshtein 1 of either probe token (the engine's max_expansions cap
+    // provably never binds on this corpus)
+    "ft_fuzzy_search" -> bm25ExpandedSql(
+      """fz AS (SELECT DISTINCT term FROM dft
+        |       WHERE levenshtein(term, 'spork') <= 1
+        |          OR levenshtein(term, 'strean') <= 1),
+        |xp AS (SELECT term FROM fz)""".stripMargin),
+    // more-like-this: top-5 terms of doc 7 by QUANTIZED tf·idf (ties by
+    // term asc), scored disjunctively over everyone else
+    "ft_more_like_this" -> bm25ExpandedSql(
+      """idf AS (SELECT dft.term, ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf
+        |        FROM dft CROSS JOIN stats),
+        |xp AS (SELECT tft.term FROM tft JOIN idf USING (term) WHERE tft.doc_id = 7
+        |       ORDER BY CAST(floor(tft.tf * idf.idf * 10000 + 0.5) AS BIGINT) DESC, tft.term
+        |       LIMIT 5)""".stripMargin,
+      scoreWhere = "tft.doc_id <> 7"),
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q
@@ -599,6 +694,22 @@ object SparkEntry {
     "agg_top10_values" ->
       s"""SELECT event_id, ${q4("value")} AS value_q FROM events
          |ORDER BY value_q DESC, event_id LIMIT 10""".stripMargin,
+    // exact-rank percentiles: identical integer rank arithmetic both sides
+    "agg_percentiles" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  max(CASE WHEN rn = CAST(floor(((cnt-1) * 25) / 100.0) AS BIGINT) THEN ${q4("l_extendedprice")} END) AS p25,
+         |  max(CASE WHEN rn = CAST(floor(((cnt-1) * 50) / 100.0) AS BIGINT) THEN ${q4("l_extendedprice")} END) AS p50,
+         |  max(CASE WHEN rn = CAST(floor(((cnt-1) * 75) / 100.0) AS BIGINT) THEN ${q4("l_extendedprice")} END) AS p75,
+         |  max(CASE WHEN rn = CAST(floor(((cnt-1) * 95) / 100.0) AS BIGINT) THEN ${q4("l_extendedprice")} END) AS p95
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_cardinality" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_stats" ->
       s"""SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
          |       CAST(max(l_quantity) AS BIGINT) AS max_q,

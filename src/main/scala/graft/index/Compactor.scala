@@ -328,7 +328,8 @@ object Compactor {
         () => spark.read.parquet(segs.map(_ + "/termstats"): _*)
           .groupBy($"term")
           .agg(sum($"df").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/termstats"),
+          .coalesce(1).sortWithinPartitions($"term")
+          .write.mode("overwrite").parquet(s"$out/termstats"),
         () => {
           val srcStats = IndexBuilder.readStatsCompat(spark, segs.map(_ + "/stats"))
           val mergedN = srcStats.map(_.n).sum
@@ -582,6 +583,11 @@ object Compactor {
         spark.read.parquet(s"$newRoot/postings")
           .groupBy($"term")
           .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          // same term-sorted dictionary layout as the batch build
+          // (IndexBuilder termstats stage): prefix/fuzzy scans stay pruned
+          // after a fold
+          .repartitionByRange($"term")
+          .sortWithinPartitions($"term")
           .as[TermStat]
           .mapPartitions(IndexBuilder.tally(tsAcc, "termstats")(
             _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,

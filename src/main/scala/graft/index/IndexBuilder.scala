@@ -190,12 +190,22 @@ object IndexBuilder {
       }
     }
 
-    /** Per-term df over batch + segments (query terms only; tiny). */
-    def dfFor(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
+    /** Term dictionary over batch ∪ streamed segments — one multi-path read;
+      * a term present in several sources appears once per source (callers
+      * sum df). The batch table is range-sorted on `term` at build time, so
+      * pushed term predicates (equality, IN, prefix) prune to the matching
+      * row groups instead of scanning the vocabulary.
+      */
+    def termstatsAll(spark: SparkSession): Dataset[TermStat] = {
       import spark.implicits._
-      import org.apache.spark.sql.functions.col
       val paths = s"$root/termstats" +: segmentDirs.map(_ + "/termstats")
       spark.read.parquet(paths: _*).as[TermStat]
+    }
+
+    /** Per-term df over batch + segments (query terms only; tiny). */
+    def dfFor(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
+      import org.apache.spark.sql.functions.col
+      termstatsAll(spark)
         .filter(col("term").isin(terms: _*))
         .collect().groupBy(_.term).map { case (t, rows) => t -> rows.map(_.df).sum }
     }
@@ -543,6 +553,12 @@ object IndexBuilder {
         val po = spark.read.parquet(s"$dir/postings")
         po.groupBy($"term")
           .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          // range-sort the dictionary on term: prefix-suggest and fuzzy-dict
+          // scans (Lexicon) then prune on parquet min/max term stats instead
+          // of reading the whole vocabulary; the exchange is vocab-sized —
+          // noise next to the postings shuffle it follows
+          .repartitionByRange($"term")
+          .sortWithinPartitions($"term")
           .as[TermStat]
           .mapPartitions(tally(acc, "termstats")(
             _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,

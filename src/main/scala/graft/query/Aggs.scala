@@ -131,6 +131,55 @@ object Aggs {
       .filter(col("l_orderkey").between(1000, 2000))
       .agg(count(lit(1)).as("n"))
 
+  /** ES `percentiles` agg, EXACT-RANK semantics: the value at 0-indexed rank
+    * floor((n-1)·p) of each group's ascending ordering — a discrete
+    * quantile with integer-exact rank arithmetic, reproducible bit-for-bit
+    * across engines (ES's own percentiles are t-digest APPROXIMATIONS with
+    * no cross-engine oracle; the exact-rank form is the checkable
+    * contract). Plan: one hash exchange on the group key, per-group sort
+    * for row_number, conditional max per percentile — no second pass, no
+    * driver collect. At 100 TB with few, huge groups the per-group sort is
+    * the cost — there the approximate companion (`percentile_approx`, a
+    * one-pass mergeable sketch; spec-tested against this exact form) is the
+    * right tool, same as ES chose.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val wc = Window.partitionBy("l_returnflag")
+    def at(pct: Int) = max(when(
+      col("rn") === floor((col("cnt") - 1) * pct / lit(100.0)).cast("long"),
+      quantized(col("l_extendedprice"))))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy(col("l_returnflag"))
+      .agg(at(25).as("p25"), at(50).as("p50"), at(75).as("p75"), at(95).as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ES `cardinality` agg: distinct values per group. The oracle-checked
+    * form is EXACT (count_distinct — one partial-aggregated exchange of
+    * distinct pairs); ES's HLL++ approximation is `cardinalityApprox`
+    * below, spec-tested against this within its rsd bound.
+    */
+  def cardinality(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ cardinality (ES-faithful approximation): fixed-size sketch per
+    * group, map-side mergeable — at 100 TB this never shuffles more than
+    * groups × sketch bytes, vs count_distinct's distinct-pair exchange.
+    */
+  def cardinalityApprox(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** A2: first/last row (min/max of the ordering key). */
   def firstLast(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")

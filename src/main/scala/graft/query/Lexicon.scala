@@ -1,0 +1,227 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analyze.Analyzer
+import graft.index.{Fs, Hit}
+import graft.index.IndexBuilder.Snapshot
+
+/** Term-dictionary query surface: prefix suggestions (the ES
+  * `terms`-prefix / completion analog), fuzzy term matching (ES `fuzziness`
+  * — reference queries run through ES 7.5, whose fuzzy terms resolve
+  * against the Lucene term dictionary FST), and more-like-this term
+  * selection (ES `more_like_this`, max_query_terms semantics).
+  *
+  * Everything here reads the index's TERM DICTIONARY (termstats: one row
+  * per term per source with df), never the postings — the dictionary is
+  * orders of magnitude smaller than the corpus (vocab vs corpus tokens), and
+  * both the batch build and every compaction write it RANGE-SORTED on
+  * `term`, so equality/IN/prefix predicates push down to the parquet scan
+  * and prune to the matching row groups.
+  *
+  * Scale design for fuzzy match: Lucene walks an FST with a Levenshtein
+  * automaton; a distributed re-statement of that walk would scan the
+  * dictionary per query. Instead we precompute the SymSpell
+  * deletion-neighborhood table once per index state — for every vocab term,
+  * every string obtainable by deleting ≤ maxDist characters, stored
+  * range-sorted on the deletion key. A query term's own ≤ maxDist-deletion
+  * neighborhood (|t|+1 keys at d=1) is then a tiny pushed IN-filter: lookup
+  * cost is independent of vocabulary size, exactly the property the FST
+  * walk has on a single node. Sharing a deletion key is necessary but not
+  * sufficient (e.g. "ab"/"ba" share "a" at edit distance 2), so candidates
+  * are verified with exact Levenshtein (codegen'd built-in) before use.
+  */
+object Lexicon {
+
+  /** df per term over batch ∪ streamed segments, summed across sources.
+    * Tombstoned docs still count (Lucene pre-merge semantics — identical to
+    * the df the scorer uses); a compaction purges them from the dictionary
+    * and from here at the same instant, since both read the same table.
+    */
+  def termDictionary(spark: SparkSession, v: Snapshot): DataFrame =
+    v.termstatsAll(spark).toDF()
+      .groupBy("term").agg(sum("df").as("df"))
+
+  // ---- prefix suggest -------------------------------------------------------
+
+  /** Top-k terms by document frequency under a prefix — autocomplete over
+    * the live index (batch ∪ streamed segments). One pruned dictionary
+    * scan: `startsWith` pushes down as StringStartsWith and the term-sorted
+    * layout confines it to the prefix's row groups; the groupBy shuffles
+    * only the surviving prefix rows; TakeOrderedAndProject merges top-k.
+    * Ties break by term ascending — deterministic across engines and runs.
+    */
+  def suggestSnap(spark: SparkSession, v: Snapshot, prefix: String,
+                  k: Int = 10): DataFrame =
+    v.termstatsAll(spark).toDF()
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(k)
+
+  def suggest(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+              prefix: String, k: Int = 10): DataFrame =
+    suggestSnap(spark, h.snapshot, prefix, k)
+
+  // ---- SymSpell fuzzy dictionary -------------------------------------------
+
+  /** All strings obtainable from `s` by deleting at most `maxDist`
+    * characters (including `s` itself), distinct. |result| ≤ 1 + L + L²/2
+    * for maxDist = 2.
+    */
+  private[graft] def deletions(s: String, maxDist: Int): Seq[String] = {
+    var frontier = Set(s)
+    val out = scala.collection.mutable.LinkedHashSet(s)
+    var d = 0
+    while (d < maxDist) {
+      frontier = frontier.flatMap(w =>
+        if (w.length <= 1) Set.empty[String]
+        else (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1)).toSet)
+      out ++= frontier.toSeq.sorted
+      d += 1
+    }
+    out.toSeq
+  }
+
+  /** Artifact location for the deletion-neighborhood table: one per
+    * (index dir, snapshot fingerprint, maxDist) — a new segment, tombstone
+    * batch or epoch fold advances the fingerprint and mints a fresh dict
+    * (the old one is swept at the next build, same discipline as the ANN
+    * artifact dirs). The fingerprint rides in the name as a hex content
+    * stamp, and is also written INTO the dir and re-verified at open.
+    */
+  private[graft] def fuzzyDictDir(v: Snapshot, maxDist: Int): String = {
+    val key = v.dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = Integer.toHexString(v.fingerprint.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft-lex/v1-d$maxDist-$key-$fp"
+  }
+
+  private def sweepStaleSiblings(dir: String): Unit = {
+    val cut = dir.lastIndexOf('/')
+    val parent = dir.substring(0, cut)
+    val name = dir.substring(cut + 1)
+    val prefix = name.substring(0, name.lastIndexOf('-') + 1)
+    Fs.listDirs(parent)
+      .filter { d => val n = Fs.name(d); n.startsWith(prefix) && n != name }
+      .foreach(Fs.delete)
+  }
+
+  /** Build (or reuse) the SymSpell deletion table for this snapshot:
+    * (delkey, term, df), range-sorted on delkey so probe IN-filters prune.
+    * Cost: one dictionary scan fanning out ×(1+L) rows at d=1 — vocab-sized
+    * work, done once per index state, amortized over every fuzzy query
+    * until the next commit. df rides in the row so probes never join back
+    * to termstats.
+    */
+  def buildFuzzyDict(spark: SparkSession, v: Snapshot, maxDist: Int = 1): String = {
+    import spark.implicits._
+    val dir = fuzzyDictDir(v, maxDist)
+    if (!Fs.exists(s"$dir/_DONE") ||
+        !Fs.readString(s"$dir/fingerprint").map(_.trim).contains(v.fingerprint)) {
+      sweepStaleSiblings(dir)
+      Fs.delete(dir)
+      val d = maxDist
+      termDictionary(spark, v)
+        .select(col("term"), col("df")).as[(String, Long)]
+        .flatMap { case (t, df) => deletions(t, d).iterator.map(k => (k, t, df)) }
+        .toDF("delkey", "term", "df")
+        .repartitionByRange(col("delkey"))
+        .sortWithinPartitions(col("delkey"))
+        .write.mode("overwrite").parquet(s"$dir/dict")
+      Fs.writeString(s"$dir/fingerprint", v.fingerprint)
+      Fs.touch(s"$dir/_DONE")
+    }
+    dir
+  }
+
+  /** Expand each query token to the vocabulary terms within Levenshtein
+    * `maxDist`, capped at `maxExpansions` per token by (df desc, term asc)
+    * — ES fuzzy keeps the highest-frequency expansions too
+    * (`max_expansions`, default 50). ONE job for all tokens: the dict scan
+    * is IN-pruned to the union of the tokens' deletion neighborhoods, each
+    * candidate is attributed to its token by joining the (tiny, broadcast)
+    * neighborhood table, verified with exact `levenshtein`, then top-N'd
+    * per token by a window over candidates only. The collect is bounded by
+    * tokens × maxExpansions.
+    */
+  def expandTerms(spark: SparkSession, v: Snapshot, tokens: Seq[String],
+                  maxDist: Int = 1, maxExpansions: Int = 50): Map[String, Seq[String]] = {
+    if (tokens.isEmpty) return Map.empty
+    val dir = buildFuzzyDict(spark, v, maxDist)
+    val keyPairs = tokens.distinct.flatMap(t => deletions(t, maxDist).map(k => (k, t)))
+    val keys = keyPairs.map(_._1).distinct
+    import spark.implicits._
+    val probe = broadcast(keyPairs.toDF("delkey", "qtoken"))
+    val w = Window.partitionBy("qtoken").orderBy(desc("df"), col("term"))
+    val rows = spark.read.parquet(s"$dir/dict")
+      .filter(col("delkey").isin(keys: _*))
+      .join(probe, "delkey")
+      .select(col("qtoken"), col("term"), col("df")).distinct()
+      .filter(levenshtein(col("qtoken"), col("term")) <= maxDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxExpansions)
+      .select(col("qtoken"), col("term"))
+      .as[(String, String)].collect()
+    rows.groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSeq.sorted }
+  }
+
+  /** Fuzzy BM25 search — ES `match` with `fuzziness` semantics restated:
+    * each analyzed query token expands to its ≤ maxDist vocabulary
+    * neighbors (capped at maxExpansions by df), and the union of expansions
+    * scores as a disjunctive BM25 query (each matched expansion contributes
+    * its own idf·impact — the multi-term scorer unchanged). Cost on top of
+    * the equivalent literal query: one pruned deletion-table lookup.
+    */
+  def fuzzySearch(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+                  query: String, k: Int, maxDist: Int = 1,
+                  maxExpansions: Int = 50): Dataset[Hit] = {
+    import spark.implicits._
+    val v = h.snapshot
+    val toks = Analyzer.tokens(query, v.mode).toSeq.distinct
+    val expanded = expandTerms(spark, v, toks, maxDist, maxExpansions)
+      .values.flatten.toSeq.distinct
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else Searcher.topKTermsSnap(spark, v, expanded, k)
+  }
+
+  // ---- more-like-this -------------------------------------------------------
+
+  /** Select the `topTerms` most characteristic terms of `text` by tf·idf
+    * against the live index stats — the ES `more_like_this` term-selection
+    * step (max_query_terms, default 25). The ranking key is QUANTIZED
+    * (floor(tf·idf·10⁴ + 0.5), ties by term asc) so the selected set is
+    * reproducible across engines — the same convention as score_q
+    * everywhere else. Cost: tokenizing one document driver-side + one
+    * pruned df lookup for its distinct terms.
+    */
+  def moreLikeThisTerms(spark: SparkSession, v: Snapshot, text: String,
+                        topTerms: Int = 5): Seq[String] = {
+    val toks = Analyzer.tokens(text, v.mode)
+    if (toks.isEmpty) return Seq.empty
+    val tf: Map[String, Int] =
+      toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val dfs = v.dfFor(spark, tf.keys.toSeq)
+    val n = v.liveStats(spark)._1.n
+    tf.toSeq
+      .map { case (t, f) =>
+        (t, Searcher.quantize(f.toDouble * Bm25.idf(n, dfs.getOrElse(t, 0L))))
+      }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(topTerms)
+      .map(_._1)
+  }
+
+  /** More-like-this search: docs scored by disjunctive BM25 over the source
+    * text's top tf·idf terms. Callers exclude the source doc itself.
+    */
+  def moreLikeThis(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+                   text: String, topTerms: Int = 5,
+                   k: Int = Int.MaxValue): Dataset[Hit] = {
+    import spark.implicits._
+    val v = h.snapshot
+    val terms = moreLikeThisTerms(spark, v, text, topTerms)
+    if (terms.isEmpty) spark.emptyDataset[Hit]
+    else Searcher.topKTermsSnap(spark, v, terms, k)
+  }
+}

@@ -277,9 +277,23 @@ object Searcher {
                conjunctive: Boolean = false,
                driverPathMaxPostings: Long = DriverPathMaxPostings,
                ranked: Boolean = true,
-               maxScoreQ: Long = Long.MaxValue): Dataset[Hit] = {
+               maxScoreQ: Long = Long.MaxValue): Dataset[Hit] =
+    topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
+      conjunctive, driverPathMaxPostings, ranked, maxScoreQ)
+
+  /** topKSnap over an EXPLICIT term set, bypassing the analyzer — the entry
+    * point for query rewriters that expand terms before scoring (fuzzy
+    * match, more-like-this: Lexicon). Scoring is identical to a verbatim
+    * query containing exactly these terms; `conjunctive` still means "all
+    * listed terms present".
+    */
+  def topKTermsSnap(spark: SparkSession, v: Snapshot, terms0: Seq[String], k: Int,
+                    conjunctive: Boolean = false,
+                    driverPathMaxPostings: Long = DriverPathMaxPostings,
+                    ranked: Boolean = true,
+                    maxScoreQ: Long = Long.MaxValue): Dataset[Hit] = {
     import spark.implicits._
-    val terms = Analyzer.tokens(query, v.mode).distinct.sorted
+    val terms = terms0.distinct.sorted
     val (st, boundFactor) = liveStats(spark, v)
     val n = st.n
     val avgdl = st.avgdl

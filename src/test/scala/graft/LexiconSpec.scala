@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query.{Aggs, Lexicon, Searcher}
+
+/** Term-dictionary query surface (Lexicon): SymSpell deletion-neighborhood
+  * completeness vs brute-force Levenshtein, fuzzy search ≡ BM25 over the
+  * hand-expanded term set, prefix-suggest pruning, more-like-this term
+  * selection determinism, and the approximate-cardinality parity bound.
+  */
+class LexiconSpec extends AnyFunSuite with SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def vocab(): Array[(String, Long)] = {
+    val h = Engine.indexFor(spark, sfDir)
+    Lexicon.termDictionary(spark, h.snapshot)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("deletion neighborhood: d=1 and d=2 contents") {
+    assert(Lexicon.deletions("abc", 1).toSet == Set("abc", "bc", "ac", "ab"))
+    assert(Lexicon.deletions("ab", 2).toSet == Set("ab", "a", "b"))
+    assert(Lexicon.deletions("abcd", 2).toSet ==
+      Set("abcd", "bcd", "acd", "abd", "abc", "cd", "bd", "bc", "ad", "ac", "ab"))
+    assert(Lexicon.deletions("a", 1).toSet == Set("a"))
+  }
+
+  test("SymSpell expansion == brute-force Levenshtein scan over the vocabulary (d=1 and d=2)") {
+    val h = Engine.indexFor(spark, sfDir)
+    val terms = vocab().map(_._1)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (d <- Seq(1, 2); probe <- Seq("spork", "strean", "scan", "windo", "xyzzy")) {
+      val got = Lexicon.expandTerms(spark, h.snapshot, Seq(probe), maxDist = d,
+        maxExpansions = 10000).getOrElse(probe, Seq.empty).toSet
+      val want = terms.filter(t => lev(probe, t) <= d).toSet
+      assert(got == want, s"probe=$probe d=$d: missed ${want -- got}, extra ${got -- want}")
+    }
+  }
+
+  test("fuzzy search ≡ multi-term BM25 over the hand-expanded term set (bit-exact)") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val expanded = Lexicon.expandTerms(spark, v, Seq("spork", "strean"), 1, 1000)
+      .values.flatten.toSeq.distinct
+    assert(expanded.nonEmpty, "probe typos should expand to vocab terms")
+    val viaFuzzy = Lexicon.fuzzySearch(spark, h, "spork strean", Int.MaxValue)
+      .collect().map(hh => (hh.docId, hh.score)).sorted.toSeq
+    val viaTerms = Searcher.topKTermsSnap(spark, v, expanded, Int.MaxValue)
+      .collect().map(hh => (hh.docId, hh.score)).sorted.toSeq
+    assert(viaFuzzy == viaTerms)
+  }
+
+  test("fuzzy expansion caps at maxExpansions by (df desc, term asc)") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val all = Lexicon.expandTerms(spark, v, Seq("scan"), 2, 10000)("scan")
+    if (all.size > 1) {
+      val dfOf = vocab().toMap
+      val top1 = Lexicon.expandTerms(spark, v, Seq("scan"), 2, 1)("scan")
+      val want = all.sortBy(t => (-dfOf(t), t)).head // df desc, ties term asc
+      assert(top1 == Seq(want), s"got $top1, want $want (of $all, dfs ${all.map(dfOf)})")
+    }
+  }
+
+  test("prefix suggest matches dictionary df and orders (df desc, term asc)") {
+    val h = Engine.indexFor(spark, sfDir)
+    val got = Lexicon.suggest(spark, h, "s", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = vocab().filter(_._1.startsWith("s"))
+      .sortBy { case (t, df) => (-df, t) }.take(10).toSeq
+    assert(got == want)
+    // the scan is pruned: the pushed filter reaches the parquet source
+    val plan = Lexicon.suggest(spark, h, "s", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), s"prefix filter not pushed:\n$plan")
+  }
+
+  test("more-like-this terms: deterministic, quantized tf·idf ranking, source doc excluded by caller") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0L).select(col("text")).head().getString(0)
+    val t1 = Lexicon.moreLikeThisTerms(spark, v, text, 5)
+    val t2 = Lexicon.moreLikeThisTerms(spark, v, text, 5)
+    assert(t1 == t2 && t1.size == 5 && t1.distinct.size == 5)
+    // every selected term occurs in the source text's token stream
+    val toks = graft.analyze.Analyzer.tokens(text, v.mode).toSet
+    assert(t1.forall(toks.contains))
+    // hits = BM25 over exactly those terms
+    val viaMlt = Lexicon.moreLikeThis(spark, h, text, 5)
+      .collect().map(hh => (hh.docId, hh.score)).sorted.toSeq
+    val viaTerms = Searcher.topKTermsSnap(spark, v, t1, Int.MaxValue)
+      .collect().map(hh => (hh.docId, hh.score)).sorted.toSeq
+    assert(viaMlt == viaTerms)
+  }
+
+  test("fuzzy dict is fingerprint-stamped: a new index state mints a fresh dict dir") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val dir = Lexicon.buildFuzzyDict(spark, v, 1)
+    assert(graft.index.Fs.exists(s"$dir/_DONE"))
+    assert(graft.index.Fs.readString(s"$dir/fingerprint").map(_.trim).contains(v.fingerprint))
+    // same snapshot → same dir (no rebuild); the dir name carries the stamp
+    assert(Lexicon.buildFuzzyDict(spark, v, 1) == dir)
+    val v2 = v.copy(state = v.state.copy(fingerprint = v.fingerprint + ":other"))
+    assert(Lexicon.fuzzyDictDir(v2, 1) != dir)
+  }
+
+  test("approx cardinality within rsd bound of exact (HLL++ parity)") {
+    val exact = Aggs.cardinality(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val approx = Aggs.cardinalityApprox(spark, sfDir, rsd = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.10, s"group $k: exact $n approx $a")
+    }
+  }
+
+  test("exact-rank percentiles: p0-style invariants against a driver-side sort") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = Aggs.percentiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (flag, p25, p50, p75, p95) =>
+      val vals = rows.filter(_._1 == flag).map(_._2).sorted
+      def at(p: Int) = math.floor(vals(math.floor((vals.length - 1) * p / 100.0).toInt) * 10000 + 0.5).toLong
+      assert((p25, p50, p75, p95) == (at(25), at(50), at(75), at(95)), s"group $flag")
+    }
+    assert(got.nonEmpty)
+  }
+}
