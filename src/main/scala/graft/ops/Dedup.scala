@@ -434,6 +434,73 @@ object Dedup {
     decontaminatePairs(spark, corpus, ref, threshold)
       .select(col("doc_id")).distinct().orderBy(col("doc_id"))
 
+  /** INGEST-TIME decontamination screen — the streaming twin of
+    * `decontaminate`: contaminated docs are dropped BEFORE they are ever
+    * indexed, instead of detected and tombstoned after the fact. The
+    * reference-set artifacts (digest set, band buckets, shingles) are
+    * computed ONCE at construction and cached — a 1-second-cadence ingest
+    * stream must not re-MinHash the eval sets every micro-batch; each
+    * micro-batch then pays only its own narrow signature map plus an
+    * equi-join against the cached (typically broadcast-sized) ref tables.
+    *
+    * Two tiers, same semantics as the batch suite: exact content-digest
+    * match, then MinHash band collision verified by exact Jaccard ≥
+    * threshold. Caller keys rows however it likes (`idCol` — streamed
+    * corpus docs have no doc_id, so e.g. `xxhash64(repo, path, commit)`);
+    * the returned ids are only ever anti-joined against the same batch, so
+    * any deterministic per-row key works.
+    */
+  final class DecontamScreen(spark: SparkSession, ref: DataFrame,
+                             threshold: Double = 0.6) extends Serializable {
+    import org.apache.spark.storage.StorageLevel
+    private val refDigests = ref.select(md5(col("text")).as("digest")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    private val refBucketsCached = bandBuckets(spark, ref)
+      .withColumnRenamed("doc_id", "ref_id").persist(StorageLevel.MEMORY_AND_DISK)
+    private val refShinglesCached = localShingles(spark, ref)
+      .withColumnRenamed("doc_id", "ref_id").persist(StorageLevel.MEMORY_AND_DISK)
+    private val refSizes = refShinglesCached
+      .groupBy(col("ref_id")).agg(count(lit(1)).cast("double").as("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Contaminated ids of `batch` ((idCol, textCol)-shaped): exact-digest
+      * hits ∪ verified MinHash near-dups. One batch-side signature map, one
+      * bucket equi-join (AQE broadcasts the small side), candidate-only
+      * exact verify — never the batch × ref product.
+      */
+    def contaminatedIds(batch: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+      val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      val exactHits = b.select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(refDigests, "digest").select(col("doc_id"))
+      val cands = bandBuckets(spark, b)
+        .join(refBucketsCached, Seq("band", "sig"))
+        .select(col("doc_id"), col("ref_id")).distinct()
+      val shB = localShingles(spark, b)
+        .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val shR = refShinglesCached
+        .join(cands.select(col("ref_id")).distinct(), Seq("ref_id"), "left_semi")
+      val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("na"))
+      val nearHits = shB.join(shR, "sh")
+        .groupBy(col("doc_id"), col("ref_id"))
+        .agg(count(lit(1)).cast("double").as("i"))
+        .join(szB, "doc_id").join(refSizes, "ref_id")
+        .filter(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
+        .select(col("doc_id"))
+      exactHits.union(nearHits).distinct()
+    }
+
+    /** `batch` minus its contaminated rows (anti-join on the derived key). */
+    def clean(batch: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+      batch.join(
+        contaminatedIds(batch, idCol, textCol).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_anti")
+
+    def close(): Unit = Seq(refDigests, refBucketsCached, refShinglesCached, refSizes)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** EXACT-tier decontamination: corpus docs whose content digest appears
     * in the reference set — the verbatim-eval-doc-in-training-data case,
     * the single most common contamination an LLM pipeline screens for

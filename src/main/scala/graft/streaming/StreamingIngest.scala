@@ -69,16 +69,41 @@ object StreamingIngest {
     * merge is idempotent and marker-committed, so a crash mid-merge leaves
     * the sources live and the half-merge invisible.
     */
+  /** `screen`: optional INGEST-TIME decontamination (Dedup.DecontamScreen)
+    * — each micro-batch is screened against the reference/eval set and
+    * contaminated docs are dropped BEFORE the segment is built, so they are
+    * never searchable (the batch-side alternative detects after indexing
+    * and tombstones). The screen's ref artifacts are cached once at stream
+    * start; the per-batch cost is the batch's own signature map plus an
+    * equi-join against them — it rides the same trigger budget. Replays are
+    * safe: the screen is deterministic, so a re-run batch drops the same
+    * docs and the segment replay guard sees identical content.
+    */
   def startIndexAppend(spark: SparkSession, srcDir: String, indexDir: String,
                        checkpointDir: String, avgdl: Double, salts: Int = 4,
                        baseDocId: Long = 1L << 40,
-                       mergeAtSegments: Int = 0): StreamingQuery = {
+                       mergeAtSegments: Int = 0,
+                       screen: Option[graft.ops.Dedup.DecontamScreen] = None): StreamingQuery = {
     val mode = IndexBuilder.openHandle(indexDir).mode
     source(spark, srcDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second")) // reference poll cadence
       .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-        appendSegment(spark, batch, batchId, indexDir, avgdl, salts, baseDocId, mode)
+        val toIndex = screen match {
+          case None => batch
+          case Some(sc) =>
+            import org.apache.spark.sql.functions.{col, xxhash64}
+            import batch.sparkSession.implicits._
+            // streamed docs carry no doc_id — key rows by a deterministic
+            // hash of the natural key; the id only ever round-trips through
+            // the screen's same-batch anti-join
+            sc.clean(
+                batch.toDF().withColumn("__sid",
+                  xxhash64(col("repo"), col("path"), col("commit"))),
+                idCol = "__sid", textCol = "content")
+              .drop("__sid").as[CorpusDoc]
+        }
+        appendSegment(spark, toIndex, batchId, indexDir, avgdl, salts, baseDocId, mode)
         if (mergeAtSegments > 0 &&
             IndexBuilder.openHandle(indexDir).segmentDirs.size >= mergeAtSegments)
           graft.index.Compactor.mergeSegments(spark, indexDir)

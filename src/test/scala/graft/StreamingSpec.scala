@@ -57,6 +57,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(h.segmentDirs.size == before)
   }
 
+  test("ingest-time decontamination screen drops exact and near-dup eval docs before indexing") {
+    import spark.implicits._
+    import graft.index.CorpusDoc
+    val src = tmpDir("graft-screen-src")
+    val idx = tmpDir("graft-screen-idx")
+    val ckp = tmpDir("graft-screen-ckp")
+    val clean = (0 until 30).map(i => Corpus.synthDoc(i, 11L))
+    // the "eval set": one doc; the stream carries a VERBATIM copy (exact
+    // tier) and a one-word-mutated near-dup (MinHash tier, jaccard ≈ 0.9)
+    val evalText = Corpus.synthDoc(500, 13L).content
+    val ws = evalText.split(" ")
+    val nearText = (ws.take(40) ++ Array("zzmutated") ++ ws.drop(41)).mkString(" ")
+    val batch = clean ++ Seq(
+      CorpusDoc("r", "contam/exact", "c", "en", evalText),
+      CorpusDoc("r", "contam/near", "c", "en", nearText))
+    val ref = Seq((0L, evalText)).toDF("doc_id", "text")
+    val screen = new graft.ops.Dedup.DecontamScreen(spark, ref, 0.6)
+    writeBatch(src, batch)
+    val q = StreamingIngest.startIndexAppend(spark, src, idx, ckp,
+      avgdl = 80.0, screen = Some(screen))
+    q.processAllAvailable(); q.stop()
+    val h = IndexBuilder.Handle(idx, graft.analyze.Analyzer.Simple)
+    val paths = spark.read.parquet(h.segmentDirs.map(_ + "/docmeta"): _*)
+      .select($"path").as[String].collect().toSet
+    assert(paths.size == 30, s"expected the 30 clean docs, got ${paths.size}")
+    assert(!paths.exists(_.contains("contam")), "contaminated docs were indexed")
+    // control: the SAME batch without the screen indexes all 32
+    val idx2 = tmpDir("graft-noscreen-idx")
+    val ckp2 = tmpDir("graft-noscreen-ckp")
+    val q2 = StreamingIngest.startIndexAppend(spark, src, idx2, ckp2, avgdl = 80.0)
+    q2.processAllAvailable(); q2.stop()
+    val n2 = spark.read.parquet(
+        IndexBuilder.Handle(idx2, graft.analyze.Analyzer.Simple)
+          .segmentDirs.map(_ + "/docmeta"): _*).count()
+    assert(n2 == 32)
+    screen.close()
+  }
+
   test("continuous ANN ingest: streamed IVF appends are probe-visible, checkpointed, replay-idempotent") {
     import spark.implicits._
     import graft.ops.Similarity
