@@ -20,7 +20,9 @@ import graft.streaming.StreamingIngest
   *   graft.Cli tombstone <indexDir> <docIdsParquet> | --dedup <srcDir>
   *                                    (index-level delete; purged at compact)
   *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
-  *   graft.Cli search <indexDir> <k> <query terms...> [--and]
+  *   graft.Cli search <indexDir> <k> <query terms...> [--and] [--fuzzy]
+  *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
+  *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
   * `export` accepts either a directory containing `documents.parquet`
   * (the driver stand-in, mapped per FIXTURES.md §2) or a parquet table
@@ -263,11 +265,47 @@ object Cli {
           case Array(a, b) => (a.toLong, b.toLong)
           case _ => sys.error(s"--after expects scoreQ:docId, got '$after'")
         }
-      val rows = Searcher.searchAfter(spark, h, terms, cs, cd, k.toInt, conj)
+      // --fuzzy: tokens expand to their edit-distance-≤1 vocabulary
+      // neighbors (SymSpell deletion dict, Lexicon) before scoring; paging
+      // still runs over the expanded set in the same cursor order
+      val v = h.snapshot
+      val queryTerms =
+        if (!flag(rest, "--fuzzy")) Analyzer.tokens(terms, v.mode).toSeq
+        else {
+          val toks = Analyzer.tokens(terms, v.mode).toSeq.distinct
+          val xp = graft.query.Lexicon.expandTerms(spark, v, toks)
+            .values.flatten.toSeq.distinct
+          println(s"fuzzy-expanded ${toks.mkString(",")} -> ${xp.sorted.mkString(",")}")
+          xp
+        }
+      val rows = Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
+          k.toInt, conj)
         .collect()
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       rows.lastOption.foreach(r => println(
         s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
+
+    case "suggest" :: indexDir :: prefix :: rest =>
+      // autocomplete over the live dictionary (batch ∪ streamed segments)
+      val h = IndexBuilder.openHandle(indexDir)
+      val k = opt(rest, "--k", "10").toInt
+      graft.query.Lexicon.suggest(spark, h, prefix, k).collect()
+        .foreach(r => println(f"${r.getString(0)}%-24s df=${r.getLong(1)}%d"))
+
+    case "mlt" :: indexDir :: docsParquet :: docId :: rest =>
+      // more-like-this: docs resembling the given source doc; the source
+      // table is (doc_id, text)-shaped
+      val h = IndexBuilder.openHandle(indexDir)
+      val k = opt(rest, "--k", "10").toInt
+      val nTerms = opt(rest, "--terms", "5").toInt
+      import org.apache.spark.sql.functions.col
+      val text = spark.read.parquet(docsParquet)
+        .filter(col("doc_id") === docId.toLong)
+        .select(col("text")).head().getString(0)
+      val terms = graft.query.Lexicon.moreLikeThisTerms(spark, h.snapshot, text, nTerms)
+      println(s"mlt terms: ${terms.mkString(", ")}")
+      graft.query.Lexicon.moreLikeThis(spark, h, text, nTerms, k).collect()
+        .foreach(hit => println(f"${hit.docId}%12d  score=${hit.score}%.4f"))
 
     case "ivf-tombstone" :: ivfDir :: idsPath :: _ =>
       // ANN-level delete: vec_ids from a parquet file ('vec_id' column, or

@@ -435,9 +435,19 @@ object Searcher {
 
   def searchAfterSnap(spark: SparkSession, v: Snapshot, query: String,
                       afterScoreQ: Long, afterDocId: Long, k: Int,
-                      conjunctive: Boolean = false): DataFrame = {
+                      conjunctive: Boolean = false): DataFrame =
+    searchAfterTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq,
+      afterScoreQ, afterDocId, k, conjunctive)
+
+  /** searchAfter over an EXPLICIT term set (the topKTermsSnap twin) — lets
+    * rewritten queries (fuzzy expansions, more-like-this) page with the
+    * same (score_q, docId) cursor order as literal ones.
+    */
+  def searchAfterTermsSnap(spark: SparkSession, v: Snapshot, terms: Seq[String],
+                           afterScoreQ: Long, afterDocId: Long, k: Int,
+                           conjunctive: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, desc}
-    val hits = topKSnap(spark, v, query, Int.MaxValue, conjunctive,
+    val hits = topKTermsSnap(spark, v, terms, Int.MaxValue, conjunctive,
       ranked = false, maxScoreQ = afterScoreQ).toDF()
     hits
       .select(col("docId"), graft.Engine.quantized(col("score")).as("score_q"))

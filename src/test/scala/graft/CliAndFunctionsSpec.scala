@@ -77,6 +77,16 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     Cli.run(spark, Seq("stats", idx)) // prints lineage table; must not throw
     Cli.run(spark, Seq("reconcile", idx)) // two-sided check; throws on mismatch
     Cli.run(spark, Seq("search", idx, "5", "spark"))
+    // fuzzy search: the typo'd token expands to its vocab neighbor and
+    // returns the SAME hits as the literal query
+    val lit = graft.query.Searcher.topK(spark, h, "spark", 5).collect()
+      .map(x => (x.docId, x.score)).toSeq
+    val fz = graft.query.Lexicon.fuzzySearch(spark, h, "spork", 5).collect()
+      .map(x => (x.docId, x.score)).toSeq
+    assert(fz == lit, s"fuzzy 'spork' should equal literal 'spark': $fz vs $lit")
+    Cli.run(spark, Seq("search", idx, "5", "spork", "--fuzzy"))
+    Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
+    Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--dry-run"))
     // dry-run must not have touched the committed index
     Cli.run(spark, Seq("reconcile", idx))
