@@ -210,6 +210,24 @@ object Bench {
         }
       }
 
+      // dictionary surface (r5): fuzzy search (SymSpell dict build timed as
+      // its own artifact line, then warm fuzzy query = expansion lookup +
+      // disjunctive BM25 over the expansions) and prefix suggest (one
+      // pruned dictionary scan)
+      {
+        import graft.query.Lexicon
+        rmrf(Lexicon.fuzzyDictDir(h.snapshot, 1))
+        val (_, dictSecs) = timed(Lexicon.buildFuzzyDict(spark, h.snapshot, 1))
+        results += "fuzzy_dict_build" -> dictSecs
+        Lexicon.fuzzySearch(spark, h, "spork strean", 10).collect() // warm
+        val (_, fz) = timed(
+          Lexicon.fuzzySearch(spark, h, "spork strean", 10).collect())
+        results += "bm25_fuzzy" -> fz
+        Lexicon.suggest(spark, h, "s", 10).collect() // warm
+        val (_, sg) = timed(Lexicon.suggest(spark, h, "s", 10).collect())
+        results += "suggest" -> sg
+      }
+
       // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
       // the adaptive coordinator path masks it at this scale, so measure it
       // explicitly — this is the plan that runs on a hot term at 100 TB
