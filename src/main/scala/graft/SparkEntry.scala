@@ -219,6 +219,22 @@ object SparkEntry {
       val h = Engine.indexFor(s, dir)
       h.termstats(s).toDF().select(col("term"), col("df")).orderBy(col("term"))
     },
+    // the ES `_cat/indices` / `_stats` readback: index-level totals served
+    // from the stored stats table (n, totalTokens — written once at build,
+    // lineage-verified) plus the dictionary size (one termstats scan);
+    // avgdl quantized with the standard convention. The oracle recomputes
+    // all four from the raw corpus.
+    "ft_index_stats" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val v = h.snapshot
+      val st = v.liveStats(s)._1
+      graft.query.Lexicon.termDictionary(s, v)
+        .agg(count(lit(1)).as("vocab_size"))
+        .select(lit(st.n).as("n_docs"),
+          lit(st.totalTokens).as("total_tokens"),
+          col("vocab_size"),
+          lit(graft.query.Searcher.quantize(st.avgdl)).as("avgdl_q"))
+    },
     // F10/q6: substring search via a trigram index, conjunctive BM25
     "ft_trigram_search" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir, Analyzer.Trigram(Analyzer.Simple))
@@ -381,6 +397,16 @@ object SparkEntry {
           ranked = false)
         .filter(col("doc_id") =!= srcId)
         .orderBy(desc("score_q"), col("doc_id"))
+    },
+    // highlight (ES `highlight`, plain-highlighter semantics): every hit
+    // carries the `window`-token fragment starting at the FIRST occurrence
+    // of any query term — snippet from re-analyzing the hit docs' source
+    // (the ES architecture choice), so the cost scales with hits returned,
+    // never the corpus
+    "ft_highlight" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      graft.query.Highlight.snippets(s, h,
+        s.read.parquet(s"$dir/documents.parquet"), "merge stream")
     },
     // phrase search: candidate-then-verify — conjunctive WAND candidates,
     // then exact phrase check against the source text (the cheap pattern
@@ -545,6 +571,13 @@ object SparkEntry {
     "ft_termstats" ->
       s"""WITH $toksCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term ORDER BY term""".stripMargin,
+    "ft_index_stats" ->
+      s"""WITH $toksCte
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       count(*) AS total_tokens,
+         |       count(DISTINCT term) AS vocab_size,
+         |       CAST(floor(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 10000 + 0.5) AS BIGINT) AS avgdl_q
+         |FROM t2""".stripMargin,
     "ft_trigram_search" -> bm25TrigramSql(Seq("ind", "ndo", "win")),
     // the streamed-union search must equal BM25 over the FULL corpus
     "ft_streamed_search" -> bm25Sql(Seq("data", "stream"), conjunctive = false),
@@ -625,6 +658,25 @@ object SparkEntry {
         |       ORDER BY CAST(floor(tft.tf * idf.idf * 10000 + 0.5) AS BIGINT) DESC, tft.term
         |       LIMIT 5)""".stripMargin,
       scoreWhere = "tft.doc_id <> 7"),
+    // highlight: fragment = 6 tokens from the first occurrence of any
+    // query term, over the analyzed (non-empty, 1-based-position) stream
+    "ft_highlight" ->
+      s"""WITH sc AS (${bm25Sql(Seq("merge", "stream"), conjunctive = false)}),
+         |posq AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w,
+         |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+         |  FROM documents),
+         |pnz AS (
+         |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+         |  FROM posq WHERE w <> ''),
+         |p0 AS (SELECT doc_id, min(p) AS p0 FROM pnz
+         |       WHERE w IN ('merge', 'stream') GROUP BY 1),
+         |win AS (SELECT pnz.doc_id, string_agg(pnz.w, ' ' ORDER BY pnz.p) AS snippet
+         |        FROM pnz JOIN p0 USING (doc_id)
+         |        WHERE pnz.p >= p0.p0 AND pnz.p < p0.p0 + 6 GROUP BY 1)
+         |SELECT sc.doc_id AS doc_id, sc.score_q AS score_q, win.snippet AS snippet
+         |FROM sc JOIN win USING (doc_id)
+         |ORDER BY score_q DESC, doc_id""".stripMargin,
     "ft_phrase_search" ->
       s"""WITH base AS (${bm25Sql(Seq("join", "order"), conjunctive = true)})
          |SELECT b.doc_id AS doc_id, b.score_q AS score_q

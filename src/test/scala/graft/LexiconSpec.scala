@@ -113,6 +113,32 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     assert(Lexicon.fuzzyDictDir(v2, 1) != dir)
   }
 
+  test("highlight snippets: fragment starts at first query-term occurrence, window-bounded, all hits covered") {
+    import org.apache.spark.sql.functions.col
+    val h = Engine.indexFor(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = graft.query.Highlight.snippets(spark, h, docs, "merge stream", window = 6)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // ground truth driver-side
+    val terms = Set("merge", "stream")
+    val want = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val toks = graft.analyze.Analyzer.tokens(r.getString(1), graft.analyze.Analyzer.Simple)
+      val p0 = toks.indexWhere(terms.contains)
+      if (p0 < 0) None
+      else Some(r.getLong(0) -> toks.slice(p0, math.min(p0 + 6, toks.length)).mkString(" "))
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    got.values.foreach { s =>
+      assert(s.nonEmpty && s.split(" ").length <= 6)
+      assert(terms.contains(s.split(" ").head), s"fragment must start at a query term: '$s'")
+    }
+    // finite k: top-3 snippets are the exhaustive top-3
+    val top3 = graft.query.Highlight.snippets(spark, h, docs, "merge stream", k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top3.length == 3 && top3.forall(got.contains))
+  }
+
   test("approx cardinality within rsd bound of exact (HLL++ parity)") {
     val exact = Aggs.cardinality(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
