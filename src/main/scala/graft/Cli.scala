@@ -267,22 +267,38 @@ object Cli {
         }
       // --fuzzy: tokens expand to their edit-distance-≤1 vocabulary
       // neighbors (SymSpell deletion dict, Lexicon) before scoring; paging
-      // still runs over the expanded set in the same cursor order
+      // still runs over the expanded set in the same cursor order.
+      // --and --fuzzy is the grouped form (every ORIGINAL token must match
+      // via its own expansions — Lexicon.fuzzySearch(conjunctive=true));
+      // a flat conjunction over the expansion union would wrongly demand
+      // every expansion of every token
       val v = h.snapshot
-      val queryTerms =
-        if (!flag(rest, "--fuzzy")) Analyzer.tokens(terms, v.mode).toSeq
-        else {
-          val toks = Analyzer.tokens(terms, v.mode).toSeq.distinct
-          val xp = graft.query.Lexicon.expandTerms(spark, v, toks)
-            .values.flatten.toSeq.distinct
-          println(s"fuzzy-expanded ${toks.mkString(",")} -> ${xp.sorted.mkString(",")}")
-          xp
+      val fuzzy = flag(rest, "--fuzzy")
+      val rows =
+        if (fuzzy && conj) {
+          import org.apache.spark.sql.functions.col
+          require(after.isEmpty,
+            "--after is not supported with --and --fuzzy (grouped coverage re-ranks)")
+          graft.query.Lexicon.fuzzySearch(spark, h, terms, k.toInt,
+              conjunctive = true).toDF()
+            .select(col("docId"),
+              Engine.quantized(col("score")).as("score_q"))
+            .collect()
+        } else {
+          val queryTerms =
+            if (!fuzzy) Analyzer.tokens(terms, v.mode).toSeq
+            else {
+              val toks = Analyzer.tokens(terms, v.mode).toSeq.distinct
+              val xp = graft.query.Lexicon.expandTerms(spark, v, toks)
+                .values.flatten.toSeq.distinct
+              println(s"fuzzy-expanded ${toks.mkString(",")} -> ${xp.sorted.mkString(",")}")
+              xp
+            }
+          Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
+            k.toInt, conj).collect()
         }
-      val rows = Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
-          k.toInt, conj)
-        .collect()
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
-      rows.lastOption.foreach(r => println(
+      if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(
         s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
 
     case "suggest" :: indexDir :: prefix :: rest =>
@@ -294,18 +310,32 @@ object Cli {
 
     case "mlt" :: indexDir :: docsParquet :: docId :: rest =>
       // more-like-this: docs resembling the given source doc; the source
-      // table is (doc_id, text)-shaped
+      // table is (doc_id, text)-shaped (the FIXTURES §2 stand-in corpus,
+      // whose docmeta paths encode doc_id — results print as doc_ids with
+      // the source doc excluded, ES MLT semantics)
       val h = IndexBuilder.openHandle(indexDir)
       val k = opt(rest, "--k", "10").toInt
       val nTerms = opt(rest, "--terms", "5").toInt
-      import org.apache.spark.sql.functions.col
-      val text = spark.read.parquet(docsParquet)
-        .filter(col("doc_id") === docId.toLong)
-        .select(col("text")).head().getString(0)
-      val terms = graft.query.Lexicon.moreLikeThisTerms(spark, h.snapshot, text, nTerms)
+      import org.apache.spark.sql.functions.{col, desc}
+      val srcId = docId.toLong
+      val srcRows = spark.read.parquet(docsParquet)
+        .filter(col("doc_id") === srcId)
+        .select(col("text")).limit(1).collect()
+      require(srcRows.nonEmpty, s"doc_id $srcId not found in $docsParquet")
+      val v = h.snapshot
+      // select terms ONCE; print them, then search with exactly that set
+      val terms = graft.query.Lexicon.moreLikeThisTerms(spark, v,
+        srcRows.head.getString(0), nTerms)
+      require(terms.nonEmpty,
+        s"doc_id $srcId has no index-resolvable terms — nothing to query")
       println(s"mlt terms: ${terms.mkString(", ")}")
-      graft.query.Lexicon.moreLikeThis(spark, h, text, nTerms, k).collect()
-        .foreach(hit => println(f"${hit.docId}%12d  score=${hit.score}%.4f"))
+      Engine.hitsAsDocIds(spark, h,
+          Searcher.topKTermsSnap(spark, v, terms, Int.MaxValue,
+            ranked = false).toDF(), ranked = false)
+        .filter(col("doc_id") =!= srcId)
+        .orderBy(desc("score_q"), col("doc_id")).limit(k)
+        .collect()
+        .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
 
     case "ivf-tombstone" :: ivfDir :: idsPath :: _ =>
       // ANN-level delete: vec_ids from a parquet file ('vec_id' column, or

@@ -463,10 +463,19 @@ object Dedup {
       .groupBy(col("ref_id")).agg(count(lit(1)).cast("double").as("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // the previous batch's materialized id set — released at the next call
+    // (its consumer, that batch's anti-join, has finished by then) and at
+    // close(); bounds the checkpoint footprint at ONE batch's tiny id set
+    private var lastIds: Option[DataFrame] = None
+
     /** Contaminated ids of `batch` ((idCol, textCol)-shaped): exact-digest
-      * hits ∪ verified MinHash near-dups. One batch-side signature map, one
-      * bucket equi-join (AQE broadcasts the small side), candidate-only
-      * exact verify — never the batch × ref product.
+      * hits ∪ verified MinHash near-dups. One batch-side signature map
+      * (candidates localCheckpoint'd eagerly, so the MinHash map runs ONCE
+      * per batch, not once per downstream consumer), one bucket equi-join
+      * (AQE broadcasts the small side), candidate-only exact verify — never
+      * the batch × ref product. The RETURNED frame is a materialized
+      * (localCheckpoint'd) id set: the caller's anti-join replays a tiny
+      * cached table, not this whole pipeline.
       */
     def contaminatedIds(batch: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
@@ -476,18 +485,24 @@ object Dedup {
       val cands = bandBuckets(spark, b)
         .join(refBucketsCached, Seq("band", "sig"))
         .select(col("doc_id"), col("ref_id")).distinct()
-      val shB = localShingles(spark, b)
-        .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      val shR = refShinglesCached
-        .join(cands.select(col("ref_id")).distinct(), Seq("ref_id"), "left_semi")
-      val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("na"))
-      val nearHits = shB.join(shR, "sh")
-        .groupBy(col("doc_id"), col("ref_id"))
-        .agg(count(lit(1)).cast("double").as("i"))
-        .join(szB, "doc_id").join(refSizes, "ref_id")
-        .filter(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
-        .select(col("doc_id"))
-      exactHits.union(nearHits).distinct()
+        .localCheckpoint(true)
+      try {
+        val shB = localShingles(spark, b)
+          .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        val shR = refShinglesCached
+          .join(cands.select(col("ref_id")).distinct(), Seq("ref_id"), "left_semi")
+        val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("na"))
+        val nearHits = shB.join(shR, "sh")
+          .groupBy(col("doc_id"), col("ref_id"))
+          .agg(count(lit(1)).cast("double").as("i"))
+          .join(szB, "doc_id").join(refSizes, "ref_id")
+          .filter(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
+          .select(col("doc_id"))
+        val ids = exactHits.union(nearHits).distinct().localCheckpoint(true)
+        lastIds.foreach(_.unpersist(blocking = false))
+        lastIds = Some(ids)
+        ids
+      } finally cands.unpersist(blocking = false)
     }
 
     /** `batch` minus its contaminated rows (anti-join on the derived key). */
@@ -497,8 +512,12 @@ object Dedup {
         contaminatedIds(batch, idCol, textCol).withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_anti")
 
-    def close(): Unit = Seq(refDigests, refBucketsCached, refShinglesCached, refSizes)
-      .foreach(_.unpersist(blocking = false))
+    def close(): Unit = {
+      lastIds.foreach(_.unpersist(blocking = false))
+      lastIds = None
+      Seq(refDigests, refBucketsCached, refShinglesCached, refSizes)
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** EXACT-tier decontamination: corpus docs whose content digest appears

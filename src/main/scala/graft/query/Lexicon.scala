@@ -75,8 +75,12 @@ object Lexicon {
     val out = scala.collection.mutable.LinkedHashSet(s)
     var d = 0
     while (d < maxDist) {
+      // deleting from a 1-char string yields "" — a REQUIRED key: without
+      // it, 1-char vocab terms and 1-char probes never share a key with
+      // their edit-distance-1 neighbors (lev("a","b")=1 via the empty
+      // alignment), breaking SymSpell ≡ brute-force completeness
       frontier = frontier.flatMap(w =>
-        if (w.length <= 1) Set.empty[String]
+        if (w.isEmpty) Set.empty[String]
         else (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1)).toSet)
       out ++= frontier.toSeq.sorted
       d += 1
@@ -92,7 +96,12 @@ object Lexicon {
     * stamp, and is also written INTO the dir and re-verified at open.
     */
   private[graft] def fuzzyDictDir(v: Snapshot, maxDist: Int): String = {
-    val key = v.dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // the raw dir's hash rides in the sweep-stable prefix: sanitization
+    // alone collapses distinct dirs (/data/idx-a vs /data/idx_a) into one
+    // namespace, and sweepStaleSiblings would then evict the OTHER index's
+    // dict on every alternation
+    val key = v.dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      Integer.toHexString(v.dir.hashCode)
     val fp = Integer.toHexString(v.fingerprint.hashCode)
     s"${sys.props("java.io.tmpdir")}/graft-lex/v1-d$maxDist-$key-$fp"
   }
@@ -172,17 +181,42 @@ object Lexicon {
     * scores as a disjunctive BM25 query (each matched expansion contributes
     * its own idf·impact — the multi-term scorer unchanged). Cost on top of
     * the equivalent literal query: one pruned deletion-table lookup.
+    *
+    * `conjunctive` = ES `operator: AND` with fuzziness: every ORIGINAL
+    * token must match via at least one of ITS OWN expansions (Lucene's
+    * bool-must over per-token fuzzy clauses). A flat conjunction over the
+    * expansion union would instead demand EVERY expansion of EVERY token —
+    * wrongly empty whenever a token has >1 expansion. Composition: one
+    * disjunctive scored pass over the union (tombstone-filtered as usual),
+    * then one semi-join per token against the docs holding any of that
+    * token's expansions (each a pruned postings scan of terms the scoring
+    * pass already touched); score stays the sum over ALL matched
+    * expansions. A token with zero expansions makes the query
+    * unsatisfiable → empty.
     */
   def fuzzySearch(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
                   query: String, k: Int, maxDist: Int = 1,
-                  maxExpansions: Int = 50): Dataset[Hit] = {
+                  maxExpansions: Int = 50,
+                  conjunctive: Boolean = false): Dataset[Hit] = {
     import spark.implicits._
     val v = h.snapshot
     val toks = Analyzer.tokens(query, v.mode).toSeq.distinct
-    val expanded = expandTerms(spark, v, toks, maxDist, maxExpansions)
-      .values.flatten.toSeq.distinct
+    val groups = expandTerms(spark, v, toks, maxDist, maxExpansions)
+    val expanded = groups.values.flatten.toSeq.distinct
     if (expanded.isEmpty) spark.emptyDataset[Hit]
-    else Searcher.topKTermsSnap(spark, v, expanded, k)
+    else if (!conjunctive) Searcher.topKTermsSnap(spark, v, expanded, k)
+    else if (toks.exists(t => groups.getOrElse(t, Seq.empty).isEmpty))
+      spark.emptyDataset[Hit]
+    else {
+      val scored = Searcher.topKTermsSnap(spark, v, expanded, Int.MaxValue,
+        ranked = false).toDF()
+      val covered = toks.foldLeft(scored) { (acc, t) =>
+        acc.join(Searcher.docsWithAnySnap(spark, v, groups(t)),
+          Seq("docId"), "left_semi")
+      }
+      val ranked = covered.orderBy(desc("score"), col("docId"))
+      (if (k == Int.MaxValue) ranked else ranked.limit(k)).as[Hit]
+    }
   }
 
   // ---- more-like-this -------------------------------------------------------
@@ -204,8 +238,13 @@ object Lexicon {
     val dfs = v.dfFor(spark, tf.keys.toSeq)
     val n = v.liveStats(spark)._1.n
     tf.toSeq
+      // index-resolvable terms only (ES MLT semantics): a df=0 term would
+      // take the MAXIMUM idf, crowd out real terms from the top-N, and
+      // then match nothing — source text not fully covered by the index
+      // (external docs, markup) must not degrade the query
+      .filter { case (t, _) => dfs.getOrElse(t, 0L) > 0L }
       .map { case (t, f) =>
-        (t, Searcher.quantize(f.toDouble * Bm25.idf(n, dfs.getOrElse(t, 0L))))
+        (t, Searcher.quantize(f.toDouble * Bm25.idf(n, dfs(t))))
       }
       .sortBy { case (t, s) => (-s, t) }
       .take(topTerms)

@@ -457,6 +457,21 @@ object Searcher {
       .limit(k)
   }
 
+  /** docIds containing ANY of `terms` (one pruned postings scan, no
+    * ordering, no liveness filter) — the membership side of grouped
+    * boolean queries: callers semi-join it against an already
+    * tombstone-filtered scored hit stream, so deleted docs never survive
+    * the composition.
+    */
+  def docsWithAnySnap(spark: SparkSession, v: Snapshot,
+                      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    v.postingsAll(spark)
+      .filter($"term".isin(terms: _*))
+      .flatMap(b => graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId).iterator)
+      .toDF("docId").distinct()
+  }
+
   /** Exact boolean term lookup (F1/F11): docIds containing `term`, over
     * batch ∪ streamed segments.
     */

@@ -85,8 +85,13 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.docId, x.score)).toSeq
     assert(fz == lit, s"fuzzy 'spork' should equal literal 'spark': $fz vs $lit")
     Cli.run(spark, Seq("search", idx, "5", "spork", "--fuzzy"))
+    Cli.run(spark, Seq("search", idx, "5", "spork", "strean", "--and", "--fuzzy"))
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
+    // missing doc_id fails loudly, not with a bare head() crash
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "999999"))
+    }
     Cli.run(spark, Seq("export", "/root/testdata/sf0.001", idx, "--dry-run"))
     // dry-run must not have touched the committed index
     Cli.run(spark, Seq("reconcile", idx))

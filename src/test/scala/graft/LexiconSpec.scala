@@ -19,12 +19,14 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
   }
 
-  test("deletion neighborhood: d=1 and d=2 contents") {
+  test("deletion neighborhood: d=1 and d=2 contents, including the empty key for 1-char strings") {
     assert(Lexicon.deletions("abc", 1).toSet == Set("abc", "bc", "ac", "ab"))
-    assert(Lexicon.deletions("ab", 2).toSet == Set("ab", "a", "b"))
+    assert(Lexicon.deletions("ab", 2).toSet == Set("ab", "a", "b", ""))
     assert(Lexicon.deletions("abcd", 2).toSet ==
       Set("abcd", "bcd", "acd", "abd", "abc", "cd", "bd", "bc", "ad", "ac", "ab"))
-    assert(Lexicon.deletions("a", 1).toSet == Set("a"))
+    // "" is REQUIRED: probe "b" must reach 1-char vocab term "a" (lev 1)
+    // through the shared empty deletion key
+    assert(Lexicon.deletions("a", 1).toSet == Set("a", ""))
   }
 
   test("SymSpell expansion == brute-force Levenshtein scan over the vocabulary (d=1 and d=2)") {
@@ -37,7 +39,9 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
           dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       dp(a.length)(b.length)
     }
-    for (d <- Seq(1, 2); probe <- Seq("spork", "strean", "scan", "windo", "xyzzy")) {
+    // 1-char probes exercise the empty-deletion-key path (vocab contains
+    // the 1-char term "a"); longer probes the general one
+    for (d <- Seq(1, 2); probe <- Seq("spork", "strean", "scan", "windo", "xyzzy", "a", "b", "ab")) {
       val got = Lexicon.expandTerms(spark, h.snapshot, Seq(probe), maxDist = d,
         maxExpansions = 10000).getOrElse(probe, Seq.empty).toSet
       val want = terms.filter(t => lev(probe, t) <= d).toSet
@@ -56,6 +60,45 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     val viaTerms = Searcher.topKTermsSnap(spark, v, expanded, Int.MaxValue)
       .collect().map(hh => (hh.docId, hh.score)).sorted.toSeq
     assert(viaFuzzy == viaTerms)
+  }
+
+  test("conjunctive fuzzy: every ORIGINAL token matches via its own expansions (grouped bool-must)") {
+    val h = Engine.indexFor(spark, sfDir)
+    // singleton expansion groups: grouped conj ≡ literal conjunctive query
+    val viaFuzzy = Lexicon.fuzzySearch(spark, h, "spork strean", Int.MaxValue,
+        conjunctive = true)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq
+    val viaLit = Searcher.topK(spark, h, "spark stream", Int.MaxValue,
+        conjunctive = true)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq
+    assert(viaFuzzy == viaLit && viaFuzzy.nonEmpty)
+    // multi-expansion group: ground truth from the raw text — docs whose
+    // token set intersects EVERY group; a flat conjunction over the union
+    // must be a (typically strict) subset
+    val v = h.snapshot
+    val groups = Lexicon.expandTerms(spark, v, Seq("ort", "spork"), maxDist = 2,
+      maxExpansions = 1000)
+    assert(groups("ort").size > 1, s"need a multi-expansion group, got ${groups}")
+    val g1 = groups("ort").toSet
+    val g2 = groups("spork").toSet
+    val gotIds = Engine.hitsAsDocIds(spark, h,
+        Lexicon.fuzzySearch(spark, h, "ort spork", Int.MaxValue, maxDist = 2,
+          maxExpansions = 1000, conjunctive = true).toDF(), ranked = false)
+      .collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap { r =>
+        val toks = graft.analyze.Analyzer.tokens(r.getString(1),
+          graft.analyze.Analyzer.Simple).toSet
+        if (toks.exists(g1.contains) && toks.exists(g2.contains)) Some(r.getLong(0)) else None
+      }.toSet
+    assert(gotIds == want, s"missed ${want -- gotIds}, extra ${gotIds -- want}")
+    val flat = Engine.hitsAsDocIds(spark, h,
+        Searcher.topKTermsSnap(spark, v, (g1 ++ g2).toSeq, Int.MaxValue,
+          conjunctive = true).toDF(), ranked = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat.subsetOf(gotIds))
   }
 
   test("fuzzy expansion caps at maxExpansions by (df desc, term asc)") {
