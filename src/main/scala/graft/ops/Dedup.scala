@@ -369,8 +369,12 @@ object Dedup {
     // dominant cost; collecting each side's id set from the lazy plan
     // would re-run both corpora's MinHash maps per collect) — the same
     // checkpoint-then-probe shape as dedupClusters. A previous call's
-    // fallback checkpoint (kept alive below because the returned lazy plan
-    // references it) is released now: the leak stays bounded at ONE entry.
+    // fallback cache entry (kept alive below because the returned lazy
+    // plan references it) is released now: the footprint stays bounded at
+    // ONE entry. persist + count, NOT localCheckpoint: persist keeps the
+    // lineage, so an earlier call's returned frame executed AFTER this
+    // eviction recomputes (slow but correct) instead of crashing on
+    // missing non-recomputable checkpoint blocks.
     planCache(spark).remove("decontam-cands-last")
       .foreach(_.unpersist(blocking = false))
     val candsCp = bandBuckets(spark, corpus).as("x")
@@ -378,7 +382,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candsCp.count() // materialize eagerly (one pass over both MinHash maps)
     // adaptive coordinator step (the minhashLshPairs pattern): the
     // candidate pair set is LSH's output — normally driver-small; ONE
     // collect yields both sides' id sets as IN filters, else fall back to
@@ -470,22 +475,27 @@ object Dedup {
 
     /** Contaminated ids of `batch` ((idCol, textCol)-shaped): exact-digest
       * hits ∪ verified MinHash near-dups. One batch-side signature map
-      * (candidates localCheckpoint'd eagerly, so the MinHash map runs ONCE
-      * per batch, not once per downstream consumer), one bucket equi-join
-      * (AQE broadcasts the small side), candidate-only exact verify — never
-      * the batch × ref product. The RETURNED frame is a materialized
-      * (localCheckpoint'd) id set: the caller's anti-join replays a tiny
-      * cached table, not this whole pipeline.
+      * (candidates persisted + materialized eagerly, so the MinHash map
+      * runs ONCE per batch, not once per downstream consumer), one bucket
+      * equi-join (AQE broadcasts the small side), candidate-only exact
+      * verify — never the batch × ref product. The RETURNED frame is a
+      * materialized (persisted) id set: the caller's anti-join replays a
+      * tiny cached table, not this whole pipeline.
       */
     def contaminatedIds(batch: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       val exactHits = b.select(col("doc_id"), md5(col("text")).as("digest"))
         .join(refDigests, "digest").select(col("doc_id"))
+      // persist + count, not localCheckpoint: a held frame from an earlier
+      // batch recomputes after eviction instead of crashing on missing
+      // non-recomputable checkpoint blocks (same rationale as
+      // decontaminatePairs)
       val cands = bandBuckets(spark, b)
         .join(refBucketsCached, Seq("band", "sig"))
         .select(col("doc_id"), col("ref_id")).distinct()
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cands.count() // one batch-side MinHash pass, shared by all consumers
       try {
         val shB = localShingles(spark, b)
           .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
@@ -498,7 +508,9 @@ object Dedup {
           .join(szB, "doc_id").join(refSizes, "ref_id")
           .filter(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
           .select(col("doc_id"))
-        val ids = exactHits.union(nearHits).distinct().localCheckpoint(true)
+        val ids = exactHits.union(nearHits).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ids.count() // materialize before cands is released
         lastIds.foreach(_.unpersist(blocking = false))
         lastIds = Some(ids)
         ids

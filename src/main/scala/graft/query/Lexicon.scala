@@ -214,7 +214,12 @@ object Lexicon {
         acc.join(Searcher.docsWithAnySnap(spark, v, groups(t)),
           Seq("docId"), "left_semi")
       }
-      val ranked = covered.orderBy(desc("score"), col("docId"))
+      // rank and cut in QUANTIZED score space (floor(s·10⁴+0.5) desc,
+      // docId asc) — the total order every other ranked surface (cursor
+      // pages, hitsAsDocIds) guarantees; a raw-score cut could keep a
+      // different doc at a quantized tie than the printed order implies
+      val ranked = covered.orderBy(
+        graft.Engine.quantized(col("score")).desc, col("docId"))
       (if (k == Int.MaxValue) ranked else ranked.limit(k)).as[Hit]
     }
   }

@@ -191,13 +191,24 @@ object Searcher {
                            dead: Array[Long]): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val m = tombBcCache(spark)
     val key = s"${v.dir}|${v.fingerprint}"
-    m.getOrElseUpdate(key, {
-      // unpersist (not destroy): an in-flight query may still hold the old
-      // fingerprint's broadcast — unpersist frees executor copies now and
-      // the ContextCleaner destroys it once the last reference is GC'd
-      evictStale(m, v.dir, key)(_.unpersist(blocking = false))
-      spark.sparkContext.broadcast(dead)
-    })
+    m.get(key).getOrElse {
+      // build-then-putIfAbsent (NOT getOrElseUpdate): TrieMap may evaluate
+      // a racing default twice, and the losing broadcast (up to ~80 MB)
+      // would be silently dropped with no unpersist — the loser here
+      // unpersists itself and adopts the winner (the ivfTombBcAt pattern)
+      val fresh = spark.sparkContext.broadcast(dead)
+      m.putIfAbsent(key, fresh) match {
+        case None =>
+          // unpersist (not destroy): an in-flight query may still hold the
+          // old fingerprint's broadcast — unpersist frees executor copies
+          // now, the ContextCleaner destroys it once the last reference GCs
+          evictStale(m, v.dir, key)(_.unpersist(blocking = false))
+          fresh
+        case Some(winner) =>
+          fresh.unpersist(blocking = false)
+          winner
+      }
+    }
   }
 
   /** Liveness predicate over a sorted delete array (Lucene liveDocs). */
