@@ -443,6 +443,9 @@ object SparkEntry {
     // ES cardinality agg (exact form; the HLL++ sketch variant is
     // Aggs.cardinalityApprox, spec-tested within its rsd bound)
     "agg_cardinality" -> ((s, d) => Aggs.cardinality(s, d)),
+    // ES histogram agg (numeric interval) and top_hits-under-terms
+    "agg_histogram" -> ((s, d) => Aggs.histogram(s, d)),
+    "agg_top_hits" -> ((s, d) => Aggs.topHits(s, d)),
     "win_gap_detect" -> ((s, d) => Aggs.gapDetect(s, d)),
     "agg_range_reconcile" -> ((s, d) => Aggs.rangeReconcile(s, d)),
     "join_revenue" -> ((s, d) => Aggs.joinRevenue(s, d)),
@@ -762,6 +765,20 @@ object SparkEntry {
     "agg_cardinality" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // numeric histogram: integer-exact bucket keys both sides
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(value / 10.0) AS BIGINT) * 10 AS bucket,
+         |       count(*) AS n, ${q4("avg(value)")} AS avg_q
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // top_hits: per-bucket top-3 in quantized-score order, unique tiebreak
+    "agg_top_hits" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id, ${q4("value")} AS value_q,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY ${q4("value")} DESC, event_id) AS rank
+         |  FROM events)
+         |SELECT event_type, rank, event_id, value_q FROM r
+         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "agg_stats" ->
       s"""SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
          |       CAST(max(l_quantity) AS BIGINT) AS max_q,

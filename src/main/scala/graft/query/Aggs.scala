@@ -180,6 +180,41 @@ object Aggs {
       .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** ES `histogram` agg (the NUMERIC-interval sibling of F2's
+    * date_histogram): bucket key = floor(value/interval)·interval, count +
+    * avg sub-aggs. min_doc_count=1 form (empty buckets omitted — same
+    * convention as the date histograms here; the dense-fill variant is a
+    * driver-side sequence join over the tiny bucket list). Key arithmetic
+    * is integer-exact (floor → long → ·interval) so both engines bucket
+    * borderline doubles identically. ONE partial-aggregated hash exchange.
+    */
+  def histogram(spark: SparkSession, sfDir: String, interval: Long = 10L): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy((floor(col("value") / interval.toDouble).cast("long") * interval)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), quantized(avg(col("value"))).as("avg_q"))
+      .orderBy(col("bucket"))
+
+  /** ES `top_hits` sub-agg under a terms bucket: the top-k documents of
+    * EACH bucket by a sort (here value desc), the "show me examples per
+    * group" request every search UI issues. Window row_number per group —
+    * one hash exchange + per-group sort, never a global sort (the
+    * per-bucket k cuts before any ordering across groups); ranks compare in
+    * QUANTIZED score space with event_id the unique tiebreaker, the same
+    * cross-engine total-order convention as every ranked surface here.
+    */
+  def topHits(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("value_q"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), quantized(col("value")).as("value_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("event_id"), col("value_q"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** A2: first/last row (min/max of the ordering key). */
   def firstLast(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
