@@ -69,9 +69,13 @@ object SparkEntry {
     * surviving docs, so the oracle is BM25 over the filtered corpus).
     */
   private def bm25Sql(terms: Seq[String], conjunctive: Boolean,
-                      docWhere: String = "TRUE"): String = {
+                      docWhere: String = "TRUE", minMatch: Int = 1): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    val having = if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}" else ""
+    // tft has one row per (doc, term), so count(*) = matched distinct terms
+    val having =
+      if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}"
+      else if (minMatch > 1) s"HAVING count(*) >= $minMatch"
+      else ""
     s"""WITH dsrc AS (SELECT * FROM documents WHERE $docWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
@@ -184,13 +188,14 @@ object SparkEntry {
   // ---- engine-side query helpers ------------------------------------------
 
   private def bm25(spark: SparkSession, sfDir: String, q: String,
-                   conjunctive: Boolean = false): DataFrame = {
+                   conjunctive: Boolean = false, minMatch: Int = 1): DataFrame = {
     val h = Engine.indexFor(spark, sfDir)
     // exhaustive mode (k = ∞): membership is complete, so the DuckDB compare
     // is robust — rank-identity of true top-k is asserted in ScalaTest
     // against the naive oracle instead.
     Engine.hitsAsDocIds(spark, h,
-      Searcher.topK(spark, h, q, Int.MaxValue, conjunctive).toDF())
+      Searcher.topK(spark, h, q, Int.MaxValue, conjunctive,
+        minMatch = minMatch).toDF())
   }
 
   // ---- driver contract ------------------------------------------------------
@@ -200,6 +205,8 @@ object SparkEntry {
     "ft_bm25_single" -> ((s, dir) => bm25(s, dir, "spark")),
     "ft_bm25_multi" -> ((s, dir) => bm25(s, dir, "spark merge window")),
     "ft_bm25_and" -> ((s, dir) => bm25(s, dir, "join filter", conjunctive = true)),
+    // ES minimum_should_match: docs matching >= 2 of the 3 terms
+    "ft_bm25_min_match" -> ((s, dir) => bm25(s, dir, "spark merge window", minMatch = 2)),
     "ft_term_lookup" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
       val dm = h.docmeta(s).toDF()
@@ -563,6 +570,8 @@ object SparkEntry {
     "ft_bm25_single" -> bm25Sql(Seq("spark"), conjunctive = false),
     "ft_bm25_multi" -> bm25Sql(Seq("merge", "spark", "window"), conjunctive = false),
     "ft_bm25_and" -> bm25Sql(Seq("filter", "join"), conjunctive = true),
+    "ft_bm25_min_match" ->
+      bm25Sql(Seq("merge", "spark", "window"), conjunctive = false, minMatch = 2),
     "ft_term_lookup" ->
       s"""WITH $toksCte
          |SELECT DISTINCT doc_id FROM t2 WHERE term = 'customer' ORDER BY doc_id""".stripMargin,

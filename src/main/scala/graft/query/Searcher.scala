@@ -242,23 +242,26 @@ object Searcher {
   private def saltWand(blocks: Iterable[PostingBlock], idfs: Map[String, Double],
                        avgdl: Double, k: Int, conj: Boolean, nTerms: Int,
                        boundFactor: Double = 1.0,
-                       keep: (Long, Double) => Boolean = (_, _) => true): Iterator[(Long, Double)] =
+                       keep: (Long, Double) => Boolean = (_, _) => true,
+                       minMatch: Int = 1): Iterator[(Long, Double)] =
     blocks.groupBy(_.salt).iterator.flatMap { case (_, bs) =>
       val scorers = scorersFor(bs.toSeq, idfs, avgdl, boundFactor)
+      def topKOf(all: Array[(Long, Double)]): Iterator[(Long, Double)] = {
+        // admission filter BEFORE top-k: a dead/over-cursor doc must not
+        // occupy a slot
+        val kept = all.filter { case (d, s) => keep(d, s) }
+        if (k == Int.MaxValue) kept.iterator
+        else {
+          val t = new Wand.TopK(k)
+          kept.foreach { case (d, s) => t.insert(s, d) }
+          t.result.iterator
+        }
+      }
       if (conj) {
         if (scorers.length < nTerms) Iterator.empty
-        else {
-          // admission filter BEFORE top-k: a dead/over-cursor doc must not
-          // occupy a slot
-          val all = Wand.intersectAnd(scorers).filter { case (d, s) => keep(d, s) }
-          if (k == Int.MaxValue) all.iterator
-          else {
-            val t = new Wand.TopK(k)
-            all.foreach { case (d, s) => t.insert(s, d) }
-            t.result.iterator
-          }
-        }
-      } else Wand.topKOr(scorers, k, keep).iterator
+        else topKOf(Wand.intersectAnd(scorers))
+      } else if (minMatch > 1) topKOf(Wand.mergeAtLeast(scorers, minMatch))
+      else Wand.topKOr(scorers, k, keep).iterator
     }
 
   /** Disjunctive (OR, the Lucene `match` default) BM25 top-k.
@@ -275,8 +278,10 @@ object Searcher {
     */
   def topK(spark: SparkSession, h: IndexBuilder.Handle, query: String, k: Int,
            conjunctive: Boolean = false,
-           driverPathMaxPostings: Long = DriverPathMaxPostings): Dataset[Hit] =
-    topKSnap(spark, h.snapshot, query, k, conjunctive, driverPathMaxPostings)
+           driverPathMaxPostings: Long = DriverPathMaxPostings,
+           minMatch: Int = 1): Dataset[Hit] =
+    topKSnap(spark, h.snapshot, query, k, conjunctive, driverPathMaxPostings,
+      minMatch = minMatch)
 
   /** topK over an explicit Snapshot — the whole query (stats, df, postings,
     * probe cache keys) derives from ONE Catalog.State, so a compaction or
@@ -288,9 +293,10 @@ object Searcher {
                conjunctive: Boolean = false,
                driverPathMaxPostings: Long = DriverPathMaxPostings,
                ranked: Boolean = true,
-               maxScoreQ: Long = Long.MaxValue): Dataset[Hit] =
+               maxScoreQ: Long = Long.MaxValue,
+               minMatch: Int = 1): Dataset[Hit] =
     topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
-      conjunctive, driverPathMaxPostings, ranked, maxScoreQ)
+      conjunctive, driverPathMaxPostings, ranked, maxScoreQ, minMatch)
 
   /** topKSnap over an EXPLICIT term set, bypassing the analyzer — the entry
     * point for query rewriters that expand terms before scoring (fuzzy
@@ -302,7 +308,8 @@ object Searcher {
                     conjunctive: Boolean = false,
                     driverPathMaxPostings: Long = DriverPathMaxPostings,
                     ranked: Boolean = true,
-                    maxScoreQ: Long = Long.MaxValue): Dataset[Hit] = {
+                    maxScoreQ: Long = Long.MaxValue,
+                    minMatch: Int = 1): Dataset[Hit] = {
     import spark.implicits._
     val terms = terms0.distinct.sorted
     val (st, boundFactor) = liveStats(spark, v)
@@ -311,6 +318,10 @@ object Searcher {
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     val conj = conjunctive
     val nTerms = terms.length
+    // ES minimum_should_match semantics: a requirement above the number of
+    // optional clauses can never be satisfied
+    if (minMatch > nTerms) return spark.emptyDataset[Hit]
+    val minM = minMatch
     val resident = spark.conf.getOption("spark.graft.index.residentPostings")
       .contains("true")
     // delete set for THIS snapshot (Lucene semantics: tombstoned docs vanish
@@ -331,7 +342,7 @@ object Searcher {
       val dfs = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.iterator.map(_.n.toLong).sum }
       val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
       val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor,
-          keepOf(liveDocOf(dead)))
+          keepOf(liveDocOf(dead)), minM)
         .toArray.sortBy { case (d, s) => (-s, d) }
       val top = if (k == Int.MaxValue) hits else hits.take(k)
       spark.createDataset(top.toSeq.map { case (d, s) => Hit(d, s) })
@@ -359,7 +370,8 @@ object Searcher {
           val keep: (Long, Double) => Boolean =
             if (bound == Long.MaxValue) (d, _) => liveDoc(d)
             else (d, s) => quantize(s) <= bound && liveDoc(d)
-          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms, boundFactor, keep)
+          saltWand(it.toSeq, bIdfs.value, avgdl, k, conj, nTerms, boundFactor,
+              keep, minM)
             .map { case (d, s) => Hit(d, s) }
         }
       // global merge: (score desc, docId asc); Catalyst plans this as

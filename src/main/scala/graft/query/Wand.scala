@@ -229,6 +229,44 @@ object Wand {
     top.result
   }
 
+  /** m-of-n scored merge — ES `minimum_should_match`: every doc containing
+    * at least `m` of the query terms, scored over the terms it contains.
+    * Exhaustive DAAT sorted-merge: the count constraint invalidates
+    * topKOr's upper-bound pivoting (eligibility depends on how many
+    * scorers align at a doc, not on score mass alone), so like
+    * `intersectAnd` this path trades pruning for simplicity and the caller
+    * top-ks. Contributions sum in ascending-term order (scorers sorted at
+    * entry) — the deterministic-summation convention of `scoreDoc`.
+    */
+  def mergeAtLeast(scorers0: Array[TermScorer], m: Int): Array[(Long, Double)] = {
+    val scorers = scorers0.filter(!_.exhausted).sortBy(_.term)
+    if (scorers.length < m) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var done = false
+    while (!done) {
+      var minDoc = Long.MaxValue
+      var i = 0
+      while (i < scorers.length) {
+        val sc = scorers(i)
+        if (!sc.exhausted && sc.curDoc < minDoc) minDoc = sc.curDoc
+        i += 1
+      }
+      if (minDoc == Long.MaxValue) done = true
+      else {
+        var cnt = 0
+        var s = 0.0
+        i = 0
+        while (i < scorers.length) {
+          val sc = scorers(i)
+          if (!sc.exhausted && sc.curDoc == minDoc) { cnt += 1; s += sc.score; sc.next() }
+          i += 1
+        }
+        if (cnt >= m) out += ((minDoc, s))
+      }
+    }
+    out.toArray
+  }
+
   /** Conjunctive (AND) scored intersection: sorted-merge with block skips.
     * Returns every doc containing all terms, scored; caller top-ks.
     */

@@ -53,6 +53,29 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("minimum_should_match: OR hits restricted to ≥m matched terms, bit-identical scores") {
+    val q = "read parquet buffer"
+    val terms = Analyzer.tokens(q, Analyzer.Code).toSeq
+    val or = Searcher.topK(spark, handle, q, Int.MaxValue)
+      .collect().map(h => h.docId -> h.score).toMap
+    // ground truth matched-term counts from single-term postings membership
+    val counts = terms
+      .flatMap(t => Searcher.docsWithAnySnap(spark, handle.snapshot, Seq(t))
+        .collect().map(_.getLong(0)))
+      .groupBy(identity).map { case (d, xs) => d -> xs.length }
+    for (m <- 2 to 3; driverMax <- Seq(Searcher.DriverPathMaxPostings, 0L)) {
+      val got = Searcher.topK(spark, handle, q, Int.MaxValue,
+        driverPathMaxPostings = driverMax, minMatch = m).collect()
+      val wantIds = counts.filter(_._2 >= m).keySet
+      assert(got.map(_.docId).toSet == wantIds, s"m=$m driverMax=$driverMax")
+      got.foreach(h => assert(h.score == or(h.docId), s"m=$m doc=${h.docId}"))
+      // ranked like every other surface
+      assert(got.toSeq == got.toSeq.sortBy(h => (-h.score, h.docId)))
+    }
+    // m above the clause count can never be satisfied (ES semantics)
+    assert(Searcher.topK(spark, handle, q, 10, minMatch = 4).collect().isEmpty)
+  }
+
   test("exhaustive mode (k=∞) matches oracle membership and order") {
     val got = Searcher.topK(spark, handle, "varint checkpointDir", Int.MaxValue).collect()
     val want = Oracle.topK(spark, corpus, "varint checkpointDir", Int.MaxValue, Analyzer.Code).collect()

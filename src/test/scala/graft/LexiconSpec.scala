@@ -207,4 +207,35 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("numeric histogram buckets match a driver-side recompute") {
+    val vals = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("value")).collect().map(_.getDouble(0))
+    val want = vals.groupBy(v => math.floor(v / 10.0).toLong * 10)
+      .map { case (b, vs) =>
+        (b, vs.length.toLong, math.floor(vs.sum / vs.length * 10000 + 0.5).toLong) }
+      .toSeq.sorted
+    val got = Aggs.histogram(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("top_hits: per-bucket top-3 matches driver-side sort; window is hash-partitioned") {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 10000 + 0.5).toLong))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (et, vs) =>
+      vs.sortBy(v => (-v._3, v._2)).take(3).zipWithIndex
+        .map { case ((_, id, vq), i) => (et, (i + 1).toLong, id, vq) }
+    }.sortBy(t => (t._1, t._2))
+    val df = Aggs.topHits(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the per-group cut must ride a hash exchange on the bucket key, not a
+    // single global sort partition (the 100 TB shape claim)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(event_type"), plan.take(2000))
+  }
 }
