@@ -69,7 +69,8 @@ object SparkEntry {
     * surviving docs, so the oracle is BM25 over the filtered corpus).
     */
   private def bm25Sql(terms: Seq[String], conjunctive: Boolean,
-                      docWhere: String = "TRUE", minMatch: Int = 1): String = {
+                      docWhere: String = "TRUE", minMatch: Int = 1,
+                      hitWhere: String = "TRUE"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     // tft has one row per (doc, term), so count(*) = matched distinct terms
     val having =
@@ -95,7 +96,9 @@ object SparkEntry {
        |  WHERE tft.term IN ($termList)
        |  GROUP BY 1 $having)
        |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
-       |FROM scores ORDER BY score_q DESC, doc_id""".stripMargin
+       |FROM scores
+       |WHERE doc_id IN (SELECT doc_id FROM documents WHERE $hitWhere)
+       |ORDER BY score_q DESC, doc_id""".stripMargin
   }
 
   private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
@@ -207,6 +210,14 @@ object SparkEntry {
     "ft_bm25_and" -> ((s, dir) => bm25(s, dir, "join filter", conjunctive = true)),
     // ES minimum_should_match: docs matching >= 2 of the 3 terms
     "ft_bm25_min_match" -> ((s, dir) => bm25(s, dir, "spark merge window", minMatch = 2)),
+    // ES bool filter context: scored must + non-scoring metadata filter —
+    // membership restricted inside the collectors, BM25 stats corpus-wide
+    "ft_search_filtered" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topKFiltered(s, h, "spark merge", Int.MaxValue,
+          element_at(split(col("path"), "/"), 1) === "en").toDF())
+    },
     "ft_term_lookup" -> { (s, dir) =>
       val h = Engine.indexFor(s, dir)
       val dm = h.docmeta(s).toDF()
@@ -572,6 +583,8 @@ object SparkEntry {
     "ft_bm25_and" -> bm25Sql(Seq("filter", "join"), conjunctive = true),
     "ft_bm25_min_match" ->
       bm25Sql(Seq("merge", "spark", "window"), conjunctive = false, minMatch = 2),
+    "ft_search_filtered" ->
+      bm25Sql(Seq("merge", "spark"), conjunctive = false, hitWhere = "lang = 'en'"),
     "ft_term_lookup" ->
       s"""WITH $toksCte
          |SELECT DISTINCT doc_id FROM t2 WHERE term = 'customer' ORDER BY doc_id""".stripMargin,

@@ -309,7 +309,8 @@ object Searcher {
                     driverPathMaxPostings: Long = DriverPathMaxPostings,
                     ranked: Boolean = true,
                     maxScoreQ: Long = Long.MaxValue,
-                    minMatch: Int = 1): Dataset[Hit] = {
+                    minMatch: Int = 1,
+                    allowDocs: Option[Array[Long]] = None): Dataset[Hit] = {
     import spark.implicits._
     val terms = terms0.distinct.sorted
     val (st, boundFactor) = liveStats(spark, v)
@@ -330,12 +331,22 @@ object Searcher {
     val dead = tombstones(spark, v)
 
     // collector admission: tombstone liveness ∧ the search_after score
-    // bound (quantized — the cursor lives in score_q space); both filter
-    // BEFORE insert, so k stays filled and the WAND threshold stays
-    // admissible (only ever lower)
-    def keepOf(liveDoc: Long => Boolean): (Long, Double) => Boolean =
+    // bound (quantized — the cursor lives in score_q space) ∧ the ES
+    // filter-context allowlist (a sorted docId array, the Lucene
+    // filter-bitset analog); all filter BEFORE insert, so k stays filled
+    // and the WAND threshold stays admissible (only ever lower). Filters
+    // never touch scoring — BM25 stats stay corpus-wide, exactly ES's
+    // non-scoring filter context.
+    def withAllow(liveDoc: Long => Boolean): Long => Boolean = allowDocs match {
+      case None => liveDoc
+      case Some(arr) =>
+        d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc(d)
+    }
+    def keepOf(liveDoc0: Long => Boolean): (Long, Double) => Boolean = {
+      val liveDoc = withAllow(liveDoc0)
       if (maxScoreQ == Long.MaxValue) (d, _) => liveDoc(d)
       else (d, s) => quantize(s) <= maxScoreQ && liveDoc(d)
+    }
 
     def driverWand(blocks: Seq[PostingBlock]): Dataset[Hit] = {
       // df ≡ Σ block n per term (index invariant) — no termstats job needed
@@ -358,6 +369,9 @@ object Searcher {
       val matching = base.filter($"term".isin(terms: _*))
       val bIdfs = spark.sparkContext.broadcast(idfs)
       val bDead = tombstonesBc(spark, v, dead)
+      // per-query broadcast (not cached like bDead: the allowlist is the
+      // query's filter, not index state)
+      val bAllow = allowDocs.map(spark.sparkContext.broadcast(_))
       val bound = maxScoreQ
       val perSalt: Dataset[Hit] = matching
         .groupByKey(_.salt)
@@ -366,7 +380,13 @@ object Searcher {
           // it holds ≤ |query terms| · docsPerSalt postings (salt count
           // scales with N via IndexBuilder.effectiveSalts, so this bound —
           // and the query's parallelism — is set by config, not corpus size)
-          val liveDoc = liveDocOf(bDead.value)
+          val liveDoc0 = liveDocOf(bDead.value)
+          val liveDoc: Long => Boolean = bAllow match {
+            case None => liveDoc0
+            case Some(b) =>
+              val arr = b.value
+              d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc0(d)
+          }
           val keep: (Long, Double) => Boolean =
             if (bound == Long.MaxValue) (d, _) => liveDoc(d)
             else (d, s) => quantize(s) <= bound && liveDoc(d)
@@ -406,6 +426,47 @@ object Searcher {
       }
     }
   }
+
+  /** Max driver-resident filter allowlist — same order as the tombstone
+    * resident cap (10M sorted longs ≈ 80 MB broadcast).
+    */
+  val MaxAllowDocs: Int = 10000000
+
+  /** FILTERED search — the ES bool `filter` context composed with a scored
+    * `must` (the single most common production query shape: "matching X,
+    * restricted to lang/repo/date-range Y"). Scoring is UNCHANGED — BM25
+    * stats (n, avgdl, df) stay corpus-wide, exactly ES's non-scoring filter
+    * context — only membership is restricted, and the restriction is
+    * applied INSIDE the collectors (before top-k insert, like tombstone
+    * liveDocs), so k stays filled and page-sized k never over-fetches.
+    *
+    * `pred` is a Column predicate over docmeta (docId, path, …). The
+    * matching docIds become a sorted broadcast allowlist (the Lucene
+    * filter-bitset analog) capped at [[MaxAllowDocs]]; an UNSELECTIVE
+    * filter past the cap fails loudly — at that selectivity the right plan
+    * is the exhaustive hit stream joined to the predicate (searchAgg's
+    * shape), not a bitset, and the error says so.
+    */
+  def topKFilteredSnap(spark: SparkSession, v: Snapshot, query: String, k: Int,
+                       pred: org.apache.spark.sql.Column,
+                       minMatch: Int = 1): Dataset[Hit] = {
+    import spark.implicits._
+    val allow = v.docmetaAll(spark).toDF()
+      .filter(pred).select(col("docId")).limit(MaxAllowDocs + 1)
+      .as[Long].collect()
+    require(allow.length <= MaxAllowDocs,
+      s"filter matches > $MaxAllowDocs docs — too unselective for the " +
+        "allowlist path; join the exhaustive unranked hit stream " +
+        "(searchAgg's shape) against the predicate instead")
+    java.util.Arrays.sort(allow)
+    topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
+      minMatch = minMatch, allowDocs = Some(allow))
+  }
+
+  def topKFiltered(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                   k: Int, pred: org.apache.spark.sql.Column,
+                   minMatch: Int = 1): Dataset[Hit] =
+    topKFilteredSnap(spark, h.snapshot, query, k, pred, minMatch)
 
   /** COMPOSED query execution — the ES `_search` body shape: ONE request
     * carrying a query AND aggregations over its hits (es/adapter.go:44-65;

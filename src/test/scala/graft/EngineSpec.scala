@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.analyze.Analyzer
 import graft.corpus.Corpus
 import graft.index.{Hit, IndexBuilder}
@@ -74,6 +75,23 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
     }
     // m above the clause count can never be satisfied (ES semantics)
     assert(Searcher.topK(spark, handle, q, 10, minMatch = 4).collect().isEmpty)
+  }
+
+  test("filter context: membership restricted, scores untouched, k fills from allowed docs") {
+    val q = "read parquet"
+    val or = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+    val pred = col("docId") % 3 === 0
+    val full = Searcher.topKFiltered(spark, handle, q, Int.MaxValue, pred).collect()
+    // membership = OR hits ∩ predicate; scores bit-identical (corpus-wide
+    // stats — the ES non-scoring filter context)
+    val want = or.filter(_.docId % 3 == 0)
+    assert(full.map(h => (h.docId, h.score)).toSeq ==
+      want.map(h => (h.docId, h.score)).toSeq)
+    assert(full.length < or.length) // the filter actually restricted
+    // finite k: top-k of the filtered ranking, never k minus filtered-out
+    val top5 = Searcher.topKFiltered(spark, handle, q, 5, pred).collect()
+    assert(top5.map(h => (h.docId, h.score)).toSeq ==
+      want.take(5).map(h => (h.docId, h.score)).toSeq)
   }
 
   test("exhaustive mode (k=∞) matches oracle membership and order") {
