@@ -249,8 +249,26 @@ object Cli {
     case "search" :: indexDir :: k :: rest =>
       val conj = flag(rest, "--and")
       val after = opt(rest, "--after", "")
-      val terms = rest.filterNot(_.startsWith("--"))
-        .filterNot(_ == after).mkString(" ")
+      // ES minimum_should_match: require at least n query terms per hit
+      // (1 = plain OR; composes with --after paging, not with --and)
+      val minMatch = opt(rest, "--min-match", "1")
+      require(minMatch.nonEmpty && minMatch.forall(_.isDigit) && minMatch.toInt >= 1,
+        s"--min-match expects a positive integer, got '$minMatch'")
+      require(minMatch == "1" || !conj,
+        "--min-match composes with OR queries; --and already requires all terms")
+      // positional arg walk: a value-taking flag consumes its NEXT token,
+      // so a query term that happens to equal a flag value is never dropped
+      val valueFlags = Set("--after", "--min-match")
+      val terms = {
+        val r = rest.toIndexedSeq
+        val b = Seq.newBuilder[String]
+        var i = 0
+        while (i < r.length) {
+          if (valueFlags(r(i))) i += 2
+          else { if (!r(i).startsWith("--")) b += r(i); i += 1 }
+        }
+        b.result().mkString(" ")
+      }
       // analyzer mode persisted by the build (analyzer_mode file) — a query
       // against a --mode code/trigram index tokenizes the same way the
       // index did
@@ -274,6 +292,12 @@ object Cli {
       // every expansion of every token
       val v = h.snapshot
       val fuzzy = flag(rest, "--fuzzy")
+      // msm counts ORIGINAL query clauses (ES); the flat fuzzy expansion
+      // loses which expansion came from which token, so the composition
+      // would silently count expansions — refuse instead of mis-counting
+      require(minMatch == "1" || !fuzzy,
+        "--min-match does not compose with --fuzzy (expansion loses the " +
+          "original-clause mapping; use --and --fuzzy for all-terms-must-match)")
       val rows =
         if (fuzzy && conj) {
           import org.apache.spark.sql.functions.col
@@ -295,7 +319,7 @@ object Cli {
               xp
             }
           Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
-            k.toInt, conj).collect()
+            k.toInt, conj, minMatch = minMatch.toInt).collect()
         }
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(
@@ -394,6 +418,8 @@ object Cli {
            |       tombstone <dir> <docIdsParquet> | tombstone <dir> --dedup <srcDir> |
            |       decontaminate <corpusDir> <refDir> [--threshold t] [--tombstone <indexDir>] |
            |       decontaminate-emb <corpusDir> <refDir> [--threshold t] [--tombstone <ivfDir>] |
-           |       search <dir> <k> <terms...> [--and] [--after scoreQ:docId]""".stripMargin)
+           |       search <dir> <k> <terms...> [--and] [--fuzzy] [--min-match n]
+           |              [--after scoreQ:docId] |
+           |       suggest <dir> <prefix> [--k n] | mlt <dir> <docsParquet> <doc_id>""".stripMargin)
   }
 }

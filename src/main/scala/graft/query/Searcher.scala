@@ -529,10 +529,11 @@ object Searcher {
     */
   def searchAfterTermsSnap(spark: SparkSession, v: Snapshot, terms: Seq[String],
                            afterScoreQ: Long, afterDocId: Long, k: Int,
-                           conjunctive: Boolean = false): DataFrame = {
+                           conjunctive: Boolean = false,
+                           minMatch: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions.{col, desc}
     val hits = topKTermsSnap(spark, v, terms, Int.MaxValue, conjunctive,
-      ranked = false, maxScoreQ = afterScoreQ).toDF()
+      ranked = false, maxScoreQ = afterScoreQ, minMatch = minMatch).toDF()
     hits
       .select(col("docId"), graft.Engine.quantized(col("score")).as("score_q"))
       .filter(col("score_q") < afterScoreQ ||

@@ -86,6 +86,17 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(fz == lit, s"fuzzy 'spork' should equal literal 'spark': $fz vs $lit")
     Cli.run(spark, Seq("search", idx, "5", "spork", "--fuzzy"))
     Cli.run(spark, Seq("search", idx, "5", "spork", "strean", "--and", "--fuzzy"))
+    // min-match: runs, and a query term equal to the flag's value survives
+    // the positional arg walk (term "2" is not swallowed)
+    Cli.run(spark, Seq("search", idx, "5", "spark", "stream", "--min-match", "2"))
+    Cli.run(spark, Seq("search", idx, "5", "spark", "2", "--min-match", "2"))
+    // invalid compositions fail loudly
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "a", "b", "--and", "--min-match", "2"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "a", "b", "--fuzzy", "--min-match", "2"))
+    }
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     // missing doc_id fails loudly, not with a bare head() crash
