@@ -55,9 +55,34 @@ object Cli {
   }
 
   private def flag(args: Seq[String], name: String): Boolean = args.contains(name)
+
+  // Every value-taking flag read via opt() MUST be registered here: the
+  // positional-term walk (positionalArgs) uses this set to skip a flag's
+  // value, so an unregistered flag's value would silently join the query
+  // terms. Registered once, consumed by both sides — the two cannot drift.
+  private val ValueFlags = Set("--after", "--min-match", "--k", "--terms",
+    "--mode", "--salts", "--seconds", "--merge-at", "--threshold",
+    "--tombstone", "--lists", "--dedup", "--partitions")
+
   private def opt(args: Seq[String], name: String, dflt: String): String = {
+    require(ValueFlags(name), s"unregistered value flag $name — add it to ValueFlags")
     val i = args.indexOf(name)
     if (i >= 0 && i + 1 < args.length) args(i + 1) else dflt
+  }
+
+  /** Non-flag tokens of `args`, with each value-taking flag consuming its
+    * NEXT token — so a positional term that happens to equal a flag's
+    * value is never dropped.
+    */
+  private def positionalArgs(args: Seq[String]): Seq[String] = {
+    val r = args.toIndexedSeq
+    val b = Seq.newBuilder[String]
+    var i = 0
+    while (i < r.length) {
+      if (ValueFlags(r(i))) i += 2
+      else { if (!r(i).startsWith("--")) b += r(i); i += 1 }
+    }
+    b.result()
   }
 
   private def corpusOf(spark: SparkSession, srcDir: String): Dataset[CorpusDoc] = {
@@ -153,7 +178,7 @@ object Cli {
       val snap = h.snapshot
       val dead: org.apache.spark.sql.DataFrame = opt(rest, "--dedup", "") match {
         case "" =>
-          val idsPath = rest.filterNot(_.startsWith("--")).headOption.getOrElse(
+          val idsPath = positionalArgs(rest).headOption.getOrElse(
             sys.error("usage: tombstone <indexDir> <docIdsParquet> | --dedup <srcDir>"))
           spark.read.parquet(idsPath)
         case srcDir =>
@@ -251,24 +276,14 @@ object Cli {
       val after = opt(rest, "--after", "")
       // ES minimum_should_match: require at least n query terms per hit
       // (1 = plain OR; composes with --after paging, not with --and)
-      val minMatch = opt(rest, "--min-match", "1")
-      require(minMatch.nonEmpty && minMatch.forall(_.isDigit) && minMatch.toInt >= 1,
-        s"--min-match expects a positive integer, got '$minMatch'")
-      require(minMatch == "1" || !conj,
+      val minMatch = opt(rest, "--min-match", "1").toIntOption
+        .filter(_ >= 1)
+        .getOrElse(sys.error(
+          s"--min-match expects a positive integer, got " +
+            s"'${opt(rest, "--min-match", "1")}'"))
+      require(minMatch == 1 || !conj,
         "--min-match composes with OR queries; --and already requires all terms")
-      // positional arg walk: a value-taking flag consumes its NEXT token,
-      // so a query term that happens to equal a flag value is never dropped
-      val valueFlags = Set("--after", "--min-match")
-      val terms = {
-        val r = rest.toIndexedSeq
-        val b = Seq.newBuilder[String]
-        var i = 0
-        while (i < r.length) {
-          if (valueFlags(r(i))) i += 2
-          else { if (!r(i).startsWith("--")) b += r(i); i += 1 }
-        }
-        b.result().mkString(" ")
-      }
+      val terms = positionalArgs(rest).mkString(" ")
       // analyzer mode persisted by the build (analyzer_mode file) — a query
       // against a --mode code/trigram index tokenizes the same way the
       // index did
@@ -295,7 +310,7 @@ object Cli {
       // msm counts ORIGINAL query clauses (ES); the flat fuzzy expansion
       // loses which expansion came from which token, so the composition
       // would silently count expansions — refuse instead of mis-counting
-      require(minMatch == "1" || !fuzzy,
+      require(minMatch == 1 || !fuzzy,
         "--min-match does not compose with --fuzzy (expansion loses the " +
           "original-clause mapping; use --and --fuzzy for all-terms-must-match)")
       val rows =
@@ -319,7 +334,7 @@ object Cli {
               xp
             }
           Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
-            k.toInt, conj, minMatch = minMatch.toInt).collect()
+            k.toInt, conj, minMatch = minMatch).collect()
         }
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(

@@ -77,6 +77,12 @@ object SparkEntry {
       if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}"
       else if (minMatch > 1) s"HAVING count(*) >= $minMatch"
       else ""
+    // the filter-context restriction is interpolated only when asked for,
+    // so the ~5 unfiltered oracles stay byte-identical to their long-
+    // validated form (no vacuous semi-join against documents)
+    val hitFilter =
+      if (hitWhere == "TRUE") ""
+      else s"WHERE doc_id IN (SELECT doc_id FROM documents WHERE $hitWhere)"
     s"""WITH dsrc AS (SELECT * FROM documents WHERE $docWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
@@ -97,7 +103,7 @@ object SparkEntry {
        |  GROUP BY 1 $having)
        |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
        |FROM scores
-       |WHERE doc_id IN (SELECT doc_id FROM documents WHERE $hitWhere)
+       |$hitFilter
        |ORDER BY score_q DESC, doc_id""".stripMargin
   }
 

@@ -216,6 +216,19 @@ object Searcher {
     if (dead.isEmpty) (_: Long) => true
     else (d: Long) => java.util.Arrays.binarySearch(dead, d) < 0
 
+  /** Compose the filter-context allowlist (sorted docId array) with a
+    * liveness predicate. The single definition serves both the driver
+    * closure and the executor closure (which passes the broadcast's
+    * dereferenced array), so the membership arithmetic cannot drift
+    * between the two WAND paths.
+    */
+  private def allowAnd(allow: Option[Array[Long]],
+      liveDoc: Long => Boolean): Long => Boolean = allow match {
+    case None => liveDoc
+    case Some(arr) =>
+      d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc(d)
+  }
+
   /** Scalar twin of Engine.quantized (floor(s·10⁴ + 0.5) as long) — the
     * search_after cursor compares quantized scores, so the collector bound
     * must use the identical arithmetic.
@@ -337,13 +350,8 @@ object Searcher {
     // and the WAND threshold stays admissible (only ever lower). Filters
     // never touch scoring — BM25 stats stay corpus-wide, exactly ES's
     // non-scoring filter context.
-    def withAllow(liveDoc: Long => Boolean): Long => Boolean = allowDocs match {
-      case None => liveDoc
-      case Some(arr) =>
-        d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc(d)
-    }
     def keepOf(liveDoc0: Long => Boolean): (Long, Double) => Boolean = {
-      val liveDoc = withAllow(liveDoc0)
+      val liveDoc = allowAnd(allowDocs, liveDoc0)
       if (maxScoreQ == Long.MaxValue) (d, _) => liveDoc(d)
       else (d, s) => quantize(s) <= maxScoreQ && liveDoc(d)
     }
@@ -380,13 +388,8 @@ object Searcher {
           // it holds ≤ |query terms| · docsPerSalt postings (salt count
           // scales with N via IndexBuilder.effectiveSalts, so this bound —
           // and the query's parallelism — is set by config, not corpus size)
-          val liveDoc0 = liveDocOf(bDead.value)
-          val liveDoc: Long => Boolean = bAllow match {
-            case None => liveDoc0
-            case Some(b) =>
-              val arr = b.value
-              d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc0(d)
-          }
+          val liveDoc =
+            allowAnd(bAllow.map(_.value), liveDocOf(bDead.value))
           val keep: (Long, Double) => Boolean =
             if (bound == Long.MaxValue) (d, _) => liveDoc(d)
             else (d, s) => quantize(s) <= bound && liveDoc(d)

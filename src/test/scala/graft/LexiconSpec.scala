@@ -217,7 +217,14 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
       .toSeq.sorted
     val got = Aggs.histogram(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == want)
+    // buckets and counts are exact; the quantized avg tolerates ±1 — the
+    // driver recompute sums linearly while Spark merges per-partition
+    // partials, and a last-ulp difference can straddle the floor(+0.5)
+    // boundary (the driver oracle's ORDER OF SUMMATION is not the spec)
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case ((b, _, ga), (_, _, wa)) =>
+      assert(math.abs(ga - wa) <= 1L, s"bucket $b avg_q $ga vs $wa")
+    }
   }
 
   test("top_hits: per-bucket top-3 matches driver-side sort; window is hash-partitioned") {
