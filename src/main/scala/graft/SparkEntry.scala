@@ -70,19 +70,33 @@ object SparkEntry {
     */
   private def bm25Sql(terms: Seq[String], conjunctive: Boolean,
                       docWhere: String = "TRUE", minMatch: Int = 1,
-                      hitWhere: String = "TRUE"): String = {
+                      hitWhere: String = "TRUE",
+                      notTerms: Seq[String] = Nil,
+                      boosts: Map[String, Double] = Map.empty): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     // tft has one row per (doc, term), so count(*) = matched distinct terms
     val having =
       if (conjunctive) s"HAVING count(*) = ${terms.distinct.size}"
       else if (minMatch > 1) s"HAVING count(*) >= $minMatch"
       else ""
-    // the filter-context restriction is interpolated only when asked for,
-    // so the ~5 unfiltered oracles stay byte-identical to their long-
-    // validated form (no vacuous semi-join against documents)
+    // per-clause boost factor (ES term^boost): multiplies the term's score
+    // contribution; interpolated only when boosts are set so the plain
+    // oracles stay byte-identical to their long-validated form
+    val boostFactor =
+      if (boosts.isEmpty) ""
+      else "(CASE tft.term " + boosts.toSeq.sortBy(_._1).map { case (t, b) =>
+        s"WHEN '$t' THEN $b" }.mkString(" ") + " ELSE 1.0 END) * "
+    // the filter-context restriction / must_not exclusion are interpolated
+    // only when asked for, so the ~5 unfiltered oracles stay byte-identical
+    // to their long-validated form (no vacuous semi-join against documents)
+    val hitConds =
+      (if (hitWhere == "TRUE") Nil
+       else Seq(s"doc_id IN (SELECT doc_id FROM documents WHERE $hitWhere)")) ++
+      (if (notTerms.isEmpty) Nil
+       else Seq(s"doc_id NOT IN (SELECT DISTINCT doc_id FROM t2 WHERE term IN " +
+         s"(${notTerms.map(t => s"'$t'").mkString(", ")}))"))
     val hitFilter =
-      if (hitWhere == "TRUE") ""
-      else s"WHERE doc_id IN (SELECT doc_id FROM documents WHERE $hitWhere)"
+      if (hitConds.isEmpty) "" else "WHERE " + hitConds.mkString(" AND ")
     s"""WITH dsrc AS (SELECT * FROM documents WHERE $docWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
@@ -95,7 +109,7 @@ object SparkEntry {
        |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1),
        |scores AS (
        |  SELECT tft.doc_id AS doc_id,
-       |         sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |         sum( $boostFactor ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
        |              * tft.tf / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
        |  FROM tft
        |  JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
@@ -216,6 +230,29 @@ object SparkEntry {
     "ft_bm25_and" -> ((s, dir) => bm25(s, dir, "join filter", conjunctive = true)),
     // ES minimum_should_match: docs matching >= 2 of the 3 terms
     "ft_bm25_min_match" -> ((s, dir) => bm25(s, dir, "spark merge window", minMatch = 2)),
+    // ES term^boost clause weights: score = Σ boost_t · bm25_t
+    "ft_bm25_boost" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topKBoosted(s, h, "spark^2.5 merge", Int.MaxValue).toDF())
+    },
+    // ES bool.must_not: scored must, non-scoring exclusion of docs
+    // containing the excluded term (denylist inside the collectors)
+    "ft_bm25_must_not" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        Searcher.topKMustNot(s, h, "spark merge", "window", Int.MaxValue).toDF())
+    },
+    // ES sort-by-field: the query decides membership, a doc field (dl)
+    // decides order; top-50 via TakeOrderedAndProject, never a global sort
+    "ft_search_sortby" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val docIdExpr = element_at(split(col("path"), "/"), 2).cast("long")
+      Searcher.searchSortBy(s, h, "spark merge",
+          Seq(col("dl").desc, docIdExpr.asc), 50)
+        .select(docIdExpr.as("doc_id"), col("dl").cast("long").as("dl"))
+        .orderBy(desc("dl"), col("doc_id"))
+    },
     // ES bool filter context: scored must + non-scoring metadata filter —
     // membership restricted inside the collectors, BM25 stats corpus-wide
     "ft_search_filtered" -> { (s, dir) =>
@@ -470,6 +507,15 @@ object SparkEntry {
     // ES histogram agg (numeric interval) and top_hits-under-terms
     "agg_histogram" -> ((s, d) => Aggs.histogram(s, d)),
     "agg_top_hits" -> ((s, d) => Aggs.topHits(s, d)),
+    // ES composite agg with `after`: page 2 (buckets 11-20) of the
+    // (event_type, day) bucket space, resumed from page 1's after_key —
+    // the collect is the 10-row page 1, exactly the ES client round-trip
+    "agg_composite_page" -> { (s, d) =>
+      val p1 = Aggs.compositePage(s, d, 10).select("event_type", "day").collect()
+      require(p1.length == 10, s"composite page 1 short: ${p1.length}")
+      Aggs.compositePage(s, d, 10,
+        afterKey = Some((p1.last.getString(0), p1.last.getString(1))))
+    },
     "win_gap_detect" -> ((s, d) => Aggs.gapDetect(s, d)),
     "agg_range_reconcile" -> ((s, d) => Aggs.rangeReconcile(s, d)),
     "join_revenue" -> ((s, d) => Aggs.joinRevenue(s, d)),
@@ -591,6 +637,23 @@ object SparkEntry {
       bm25Sql(Seq("merge", "spark", "window"), conjunctive = false, minMatch = 2),
     "ft_search_filtered" ->
       bm25Sql(Seq("merge", "spark"), conjunctive = false, hitWhere = "lang = 'en'"),
+    // term^boost clause weights: spark's contribution scaled 2.5×
+    "ft_bm25_boost" ->
+      bm25Sql(Seq("merge", "spark"), conjunctive = false,
+        boosts = Map("spark" -> 2.5)),
+    // bool.must_not: scored must, docs containing 'window' excluded
+    "ft_bm25_must_not" ->
+      bm25Sql(Seq("merge", "spark"), conjunctive = false,
+        notTerms = Seq("window")),
+    // sort-by-field: membership from the query (≥1 term), order from a doc
+    // field (dl desc), doc_id tiebreaker making the top-50 cut total
+    "ft_search_sortby" ->
+      s"""WITH $toksCte,
+         |dlt AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |m AS (SELECT DISTINCT doc_id FROM t2 WHERE term IN ('merge', 'spark'))
+         |SELECT m.doc_id AS doc_id, dlt.dl AS dl
+         |FROM m JOIN dlt USING (doc_id)
+         |ORDER BY dl DESC, doc_id LIMIT 50""".stripMargin,
     "ft_term_lookup" ->
       s"""WITH $toksCte
          |SELECT DISTINCT doc_id FROM t2 WHERE term = 'customer' ORDER BY doc_id""".stripMargin,
@@ -807,6 +870,20 @@ object SparkEntry {
          |  FROM events)
          |SELECT event_type, rank, event_id, value_q FROM r
          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    // composite-with-after page 2: the cursor is bucket 10 of the
+    // (event_type, day) keyset; page 2 = the next 10 strictly after it
+    "agg_composite_page" ->
+      s"""WITH g AS (
+         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |         count(*) AS n, ${q4("sum(value)")} AS sum_q
+         |  FROM events GROUP BY 1, 2),
+         |cur AS (SELECT event_type, day FROM g
+         |        ORDER BY event_type, day LIMIT 1 OFFSET 9)
+         |SELECT g.event_type AS event_type, g.day AS day, g.n AS n, g.sum_q AS sum_q
+         |FROM g CROSS JOIN cur c
+         |WHERE g.event_type > c.event_type
+         |   OR (g.event_type = c.event_type AND g.day > c.day)
+         |ORDER BY event_type, day LIMIT 10""".stripMargin,
     "agg_stats" ->
       s"""SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
          |       CAST(max(l_quantity) AS BIGINT) AS max_q,

@@ -215,6 +215,34 @@ object Aggs {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** ES `composite` aggregation with `after` — the ONLY ES agg that pages:
+    * deterministic keyset pagination over ALL buckets of a multi-source
+    * group-by, `size` buckets per request, resumed from the last page's
+    * key tuple (`after_key`). The page = buckets strictly after the cursor
+    * in (event_type, day) lexicographic order.
+    *
+    * Scale shape: the group-by partial-aggregates map-side into ONE hash
+    * exchange, the after-key tuple filter is a deterministic predicate on
+    * grouping expressions (Catalyst pushes it below the Aggregate, so
+    * pre-cursor groups aren't even aggregated), and orderBy+limit plans as
+    * TakeOrderedAndProject — page 7 of a billion-bucket composite costs
+    * one partial agg + a size-row merge, never a global bucket sort.
+    */
+  def compositePage(spark: SparkSession, sfDir: String, size: Int,
+                    afterKey: Option[(String, String)] = None): DataFrame = {
+    val g = t(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), quantized(sum(col("value"))).as("sum_q"))
+    val paged = afterKey match {
+      case Some((at, ad)) =>
+        g.filter(col("event_type") > at ||
+          (col("event_type") === at && col("day") > ad))
+      case None => g
+    }
+    paged.orderBy(col("event_type"), col("day")).limit(size)
+  }
+
   /** A2: first/last row (min/max of the ordering key). */
   def firstLast(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")

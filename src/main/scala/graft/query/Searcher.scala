@@ -216,17 +216,25 @@ object Searcher {
     if (dead.isEmpty) (_: Long) => true
     else (d: Long) => java.util.Arrays.binarySearch(dead, d) < 0
 
-  /** Compose the filter-context allowlist (sorted docId array) with a
-    * liveness predicate. The single definition serves both the driver
-    * closure and the executor closure (which passes the broadcast's
-    * dereferenced array), so the membership arithmetic cannot drift
+  /** Compose the filter-context allowlist and the must_not denylist (both
+    * sorted docId arrays) with a liveness predicate: admitted ⇔ in allow
+    * (if any) ∧ not in deny ∧ live. The single definition serves both the
+    * driver closure and the executor closure (which passes the broadcasts'
+    * dereferenced arrays), so the membership arithmetic cannot drift
     * between the two WAND paths.
     */
-  private def allowAnd(allow: Option[Array[Long]],
-      liveDoc: Long => Boolean): Long => Boolean = allow match {
-    case None => liveDoc
-    case Some(arr) =>
-      d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc(d)
+  private def admitOf(allow: Option[Array[Long]], deny: Option[Array[Long]],
+      liveDoc: Long => Boolean): Long => Boolean = {
+    val afterAllow: Long => Boolean = allow match {
+      case None => liveDoc
+      case Some(arr) =>
+        d => java.util.Arrays.binarySearch(arr, d) >= 0 && liveDoc(d)
+    }
+    deny match {
+      case None => afterAllow
+      case Some(arr) =>
+        d => java.util.Arrays.binarySearch(arr, d) < 0 && afterAllow(d)
+    }
   }
 
   /** Scalar twin of Engine.quantized (floor(s·10⁴ + 0.5) as long) — the
@@ -323,7 +331,9 @@ object Searcher {
                     ranked: Boolean = true,
                     maxScoreQ: Long = Long.MaxValue,
                     minMatch: Int = 1,
-                    allowDocs: Option[Array[Long]] = None): Dataset[Hit] = {
+                    allowDocs: Option[Array[Long]] = None,
+                    denyDocs: Option[Array[Long]] = None,
+                    boosts: Map[String, Double] = Map.empty): Dataset[Hit] = {
     import spark.implicits._
     val terms = terms0.distinct.sorted
     val (st, boundFactor) = liveStats(spark, v)
@@ -345,21 +355,28 @@ object Searcher {
 
     // collector admission: tombstone liveness ∧ the search_after score
     // bound (quantized — the cursor lives in score_q space) ∧ the ES
-    // filter-context allowlist (a sorted docId array, the Lucene
-    // filter-bitset analog); all filter BEFORE insert, so k stays filled
-    // and the WAND threshold stays admissible (only ever lower). Filters
-    // never touch scoring — BM25 stats stay corpus-wide, exactly ES's
-    // non-scoring filter context.
+    // filter-context allowlist ∧ the must_not denylist (sorted docId
+    // arrays, the Lucene filter-bitset / ReqExcl analogs); all filter
+    // BEFORE insert, so k stays filled and the WAND threshold stays
+    // admissible (only ever lower). Filters never touch scoring — BM25
+    // stats stay corpus-wide, exactly ES's non-scoring filter context.
     def keepOf(liveDoc0: Long => Boolean): (Long, Double) => Boolean = {
-      val liveDoc = allowAnd(allowDocs, liveDoc0)
+      val liveDoc = admitOf(allowDocs, denyDocs, liveDoc0)
       if (maxScoreQ == Long.MaxValue) (d, _) => liveDoc(d)
       else (d, s) => quantize(s) <= maxScoreQ && liveDoc(d)
     }
 
+    // per-term scoring weight = idf · boost (ES `term^boost`): a boost
+    // scales every score contribution AND the scorer's maxScore/block-max
+    // bounds by the same factor, so WAND pruning stays admissible
+    def idfsOf(dfs: Map[String, Long]): Map[String, Double] =
+      terms.iterator.map(t =>
+        t -> Bm25.idf(n, dfs.getOrElse(t, 0L)) * boosts.getOrElse(t, 1.0)).toMap
+
     def driverWand(blocks: Seq[PostingBlock]): Dataset[Hit] = {
       // df ≡ Σ block n per term (index invariant) — no termstats job needed
       val dfs = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.iterator.map(_.n.toLong).sum }
-      val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
+      val idfs = idfsOf(dfs)
       val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor,
           keepOf(liveDocOf(dead)), minM)
         .toArray.sortBy { case (d, s) => (-s, d) }
@@ -372,14 +389,15 @@ object Searcher {
       // posting volume is a meaningful corpus fraction, so the right plan is
       // the pushed-down pruned scan feeding the per-salt WAND, not residency
       val dfs = dfForCached(spark, v, terms)
-      val idfs = terms.iterator.map(t => t -> Bm25.idf(n, dfs.getOrElse(t, 0L))).toMap
+      val idfs = idfsOf(dfs)
       val base = if (resident) residentPostings(spark, v) else v.postingsAll(spark)
       val matching = base.filter($"term".isin(terms: _*))
       val bIdfs = spark.sparkContext.broadcast(idfs)
       val bDead = tombstonesBc(spark, v, dead)
-      // per-query broadcast (not cached like bDead: the allowlist is the
-      // query's filter, not index state)
+      // per-query broadcasts (not cached like bDead: allow/deny lists are
+      // the query's filters, not index state)
       val bAllow = allowDocs.map(spark.sparkContext.broadcast(_))
+      val bDeny = denyDocs.map(spark.sparkContext.broadcast(_))
       val bound = maxScoreQ
       val perSalt: Dataset[Hit] = matching
         .groupByKey(_.salt)
@@ -389,7 +407,7 @@ object Searcher {
           // scales with N via IndexBuilder.effectiveSalts, so this bound —
           // and the query's parallelism — is set by config, not corpus size)
           val liveDoc =
-            allowAnd(bAllow.map(_.value), liveDocOf(bDead.value))
+            admitOf(bAllow.map(_.value), bDeny.map(_.value), liveDocOf(bDead.value))
           val keep: (Long, Double) => Boolean =
             if (bound == Long.MaxValue) (d, _) => liveDoc(d)
             else (d, s) => quantize(s) <= bound && liveDoc(d)
@@ -470,6 +488,90 @@ object Searcher {
                    k: Int, pred: org.apache.spark.sql.Column,
                    minMatch: Int = 1): Dataset[Hit] =
     topKFilteredSnap(spark, h.snapshot, query, k, pred, minMatch)
+
+  /** BOOSTED search — the ES/Lucene `term^boost` clause weight (query_string
+    * `spark^2.5 merge`): per-doc score = Σ boost_t · bm25_t. A boost scales
+    * a term's idf, so every score contribution AND the scorer's WAND
+    * upper bounds scale by the same factor — pruning stays admissible and
+    * relevance tuning costs nothing at execution time. When one analyzed
+    * term receives several clauses' boosts (e.g. code-mode splitting two
+    * clauses into a shared token), the MAX boost wins — deterministic, and
+    * documented here because ES would score the clauses independently.
+    */
+  def topKBoostedSnap(spark: SparkSession, v: Snapshot, query: String, k: Int,
+                      minMatch: Int = 1): Dataset[Hit] = {
+    val termBoosts: Seq[(String, Double)] =
+      query.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { clause =>
+        val (txt, boost) = clause.lastIndexOf('^') match {
+          case -1 => (clause, 1.0)
+          case i =>
+            val b = clause.substring(i + 1).toDoubleOption.getOrElse(
+              sys.error(s"bad boost in clause '$clause' — expected term^number"))
+            require(b > 0.0, s"boost must be positive in clause '$clause'")
+            (clause.substring(0, i), b)
+        }
+        Analyzer.tokens(txt, v.mode).map(_ -> boost)
+      }
+    val boosts = termBoosts.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+    topKTermsSnap(spark, v, boosts.keys.toSeq, k, minMatch = minMatch,
+      boosts = boosts)
+  }
+
+  def topKBoosted(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                  k: Int, minMatch: Int = 1): Dataset[Hit] =
+    topKBoostedSnap(spark, h.snapshot, query, k, minMatch)
+
+  /** MUST_NOT search — the ES bool `must_not` clause (non-scoring exclusion
+    * context): docs matching the scored query, excluding any doc containing
+    * a must_not term. Like the filter allowlist, the exclusion is a sorted
+    * broadcast denylist applied INSIDE the collectors (the Lucene ReqExcl
+    * iterator analog) — k fills from surviving docs and BM25 stats stay
+    * corpus-wide. An UNSELECTIVE must_not (excluded docs past
+    * [[MaxAllowDocs]]) fails loudly: at that volume the right plan is the
+    * exhaustive unranked hit stream anti-joined against the excluded-doc
+    * stream (docsWithAnySnap), not a driver-resident bitset.
+    */
+  def topKMustNotSnap(spark: SparkSession, v: Snapshot, query: String,
+                      mustNot: String, k: Int, minMatch: Int = 1): Dataset[Hit] = {
+    import spark.implicits._
+    val notTerms = Analyzer.tokens(mustNot, v.mode).toSeq.distinct
+    require(notTerms.nonEmpty, "must_not clause analyzed to zero terms")
+    val deny = docsWithAnySnap(spark, v, notTerms)
+      .limit(MaxAllowDocs + 1).as[Long].collect()
+    require(deny.length <= MaxAllowDocs,
+      s"must_not matches > $MaxAllowDocs docs — too unselective for the " +
+        "denylist path; anti-join the exhaustive unranked hit stream " +
+        "against docsWithAnySnap instead")
+    java.util.Arrays.sort(deny)
+    topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
+      minMatch = minMatch, denyDocs = Some(deny))
+  }
+
+  def topKMustNot(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                  mustNot: String, k: Int, minMatch: Int = 1): Dataset[Hit] =
+    topKMustNotSnap(spark, h.snapshot, query, mustNot, k, minMatch)
+
+  /** FIELD-SORTED search — the ES `sort: [{field: order}]` request shape:
+    * the query decides membership (scored-and-discarded, like ES with
+    * track_scores=false), a document field decides order. Callers supply
+    * the full sort key as Columns over docmeta (including a unique
+    * tiebreaker such as the path-derived corpus id); `docId` is appended as
+    * the final tiebreaker so the cut is total even without one.
+    *
+    * Scale shape: the UNRANKED exhaustive hit stream (no score sort —
+    * membership only) equi-joins docmeta on docId (AQE picks broadcast vs
+    * shuffle by hit volume), then `orderBy(sortCols).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k, k rows per partition to
+    * the driver, never a global sort.
+    */
+  def searchSortBy(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                   sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    val v = h.snapshot
+    val hits = topKSnap(spark, v, query, Int.MaxValue, ranked = false).toDF()
+    hits.select(col("docId")).join(v.docmetaAll(spark).toDF(), "docId")
+      .orderBy(sortCols :+ col("docId").asc: _*)
+      .limit(k)
+  }
 
   /** COMPOSED query execution — the ES `_search` body shape: ONE request
     * carrying a query AND aggregations over its hits (es/adapter.go:44-65;

@@ -340,6 +340,80 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       s"search_after page plan contains a global sort exchange:\n$plan")
   }
 
+  test("term^boost: boost=1 ≡ plain; boosted score = Σ boost·idf·tfnorm; paths agree") {
+    val q = "read parquet"
+    // all-1 boosts are the identity — bit-exact vs the plain surface
+    val plain = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+    val unit = Searcher.topKBoosted(spark, handle, "read^1 parquet^1.0", Int.MaxValue).collect()
+    assertRankIdentical(unit, plain, "boost=1")
+    // boosted ground truth from single-term scores: score_b(d) =
+    // Σ_t boost_t · s_t(d) (each s_t from the single-term exhaustive
+    // surface, whose bit-exactness the rank-identity gate already pins)
+    val per = Seq("read" -> 2.5, "parquet" -> 1.0).map { case (t, b) =>
+      b -> Searcher.topK(spark, handle, t, Int.MaxValue).collect()
+        .map(h => h.docId -> h.score).toMap
+    }
+    val want = per.flatMap(_._2.keys).distinct.map { d =>
+      d -> per.map { case (b, m) => b * m.getOrElse(d, 0.0) }.sum
+    }.toMap
+    val got = Searcher.topKBoosted(spark, handle, "read^2.5 parquet", Int.MaxValue).collect()
+    assert(got.map(_.docId).toSet == want.keySet)
+    got.foreach(h => assert(math.abs(h.score - want(h.docId)) <=
+      1e-9 * math.max(1.0, math.abs(want(h.docId))), s"doc ${h.docId}"))
+    assert(got.toSeq == got.toSeq.sortBy(h => (-h.score, h.docId)))
+    // the boost visibly re-ranks relative to plain (fixture sanity) and the
+    // driver and distributed paths agree bit-exactly
+    val dist = Searcher.topK(spark, handle, q, 10, driverPathMaxPostings = 0L)
+    assert(dist.collect().nonEmpty)
+    val gotDist = Searcher.topKBoostedSnap(spark, handle.snapshot,
+      "read^2.5 parquet", Int.MaxValue).collect()
+    assertRankIdentical(gotDist, got, "boost dist≡driver (cache-served)")
+    // malformed boost fails loudly
+    intercept[RuntimeException] {
+      Searcher.topKBoosted(spark, handle, "read^fast", 10).collect()
+    }
+  }
+
+  test("must_not: membership = OR hits minus excluded docs, scores untouched, k fills") {
+    val q = "read parquet"
+    val or = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+    val excluded = Searcher.docsWithAnySnap(spark, handle.snapshot, Seq("import"))
+      .collect().map(_.getLong(0)).toSet
+    val want = or.filter(h => !excluded(h.docId))
+    assert(want.length < or.length && want.nonEmpty, "fixture: exclusion must bite")
+    val full = Searcher.topKMustNot(spark, handle, q, "import", Int.MaxValue).collect()
+    assert(full.map(h => (h.docId, h.score)).toSeq ==
+      want.map(h => (h.docId, h.score)).toSeq)
+    // finite k fills from survivors (top-k of the excluded ranking)
+    val top5 = Searcher.topKMustNot(spark, handle, q, "import", 5).collect()
+    assert(top5.map(h => (h.docId, h.score)).toSeq ==
+      want.take(5).map(h => (h.docId, h.score)).toSeq)
+    // must_not of a term absent from the corpus is the identity
+    val noop = Searcher.topKMustNot(spark, handle, q, "zzzabsentterm", Int.MaxValue).collect()
+    assertRankIdentical(noop, or, "must_not absent")
+  }
+
+  test("sort-by-field: query decides membership, field decides order; no range exchange") {
+    import spark.implicits._
+    val q = "read parquet"
+    val members = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+      .map(_.docId).toSet
+    val dl = handle.docmeta(spark).collect().map(m => m.docId -> m.dl).toMap
+    val want = members.toSeq.map(d => (d, dl(d)))
+      .sortBy { case (d, l) => (-l, d) }.take(25)
+    val got = Searcher.searchSortBy(spark, handle, q,
+        Seq(col("dl").desc), 25)
+      .select(col("docId"), col("dl")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == want)
+    // TakeOrderedAndProject, not a global sort: per-partition top-k only
+    val plan = Searcher.searchSortBy(spark, handle, q, Seq(col("dl").desc), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"sort-by plan pays a global sort exchange:\n$plan")
+  }
+
   test("docIds dense, unique, zero-based") {
     import spark.implicits._
     val ids = handle.docmeta(spark).map(_.docId).collect().sorted

@@ -185,6 +185,31 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("composite agg: pages tile the bucket set, after-key is strict, plan takes ordered") {
+    import graft.query.Aggs
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val full = Aggs.compositePage(spark, sfDir, Int.MaxValue).collect().toSeq
+    assert(full.length > 20, "fixture needs enough (event_type, day) buckets to page")
+    assert(full.map(key) == full.map(key).sorted, "bucket keyset order")
+    // chain after-keys with size 7: concatenated pages ≡ the full bucket list
+    val paged = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var after: Option[(String, String)] = None
+    var page = Aggs.compositePage(spark, sfDir, 7, after).collect()
+    while (page.nonEmpty) {
+      paged ++= page
+      after = Some(key(page.last))
+      page = Aggs.compositePage(spark, sfDir, 7, after).collect()
+    }
+    assert(paged.toSeq == full, "pages must tile the bucket set exactly")
+    // page N is TakeOrderedAndProject over the aggregate — never a global
+    // bucket sort (the at-scale claim in Aggs.compositePage's doc)
+    val plan = Aggs.compositePage(spark, sfDir, 7, Some(key(full(6))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"composite page pays a global sort exchange:\n$plan")
+  }
+
   test("plan caches are source-mtime-stamped: same-path delete+rewrite is not served stale") {
     import spark.implicits._
     val dir = tmpDir("graft-stale")
