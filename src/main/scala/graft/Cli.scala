@@ -21,6 +21,8 @@ import graft.streaming.StreamingIngest
   *                                    (index-level delete; purged at compact)
   *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
   *   graft.Cli search <indexDir> <k> <query terms...> [--and] [--fuzzy]
+  *             [--not "<terms>"] [--sort-by field[:asc|desc]]
+  *             (clauses may carry ES-style boosts: term^2.5)
   *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
@@ -62,7 +64,7 @@ object Cli {
   // terms. Registered once, consumed by both sides — the two cannot drift.
   private val ValueFlags = Set("--after", "--min-match", "--k", "--terms",
     "--mode", "--salts", "--seconds", "--merge-at", "--threshold",
-    "--tombstone", "--lists", "--dedup", "--partitions")
+    "--tombstone", "--lists", "--dedup", "--partitions", "--not", "--sort-by")
 
   private def opt(args: Seq[String], name: String, dflt: String): String = {
     require(ValueFlags(name), s"unregistered value flag $name — add it to ValueFlags")
@@ -313,19 +315,62 @@ object Cli {
       require(minMatch == 1 || !fuzzy,
         "--min-match does not compose with --fuzzy (expansion loses the " +
           "original-clause mapping; use --and --fuzzy for all-terms-must-match)")
+      // --not: ES bool.must_not — non-scoring exclusion, composes with
+      // paging/boosts/--and (the denylist is collector admission, not
+      // membership logic). The grouped --and --fuzzy path re-ranks on its
+      // own and is refused below.
+      val mustNot = opt(rest, "--not", "")
+      // term^boost clauses (ES clause weights) — parsed from the query
+      // terms themselves; refused with --fuzzy (expansion loses which
+      // clause a vocabulary neighbor came from, so its boost is undefined)
+      val hasBoost = positionalArgs(rest).exists(_.contains('^'))
+      require(!hasBoost || !fuzzy,
+        "term^boost does not compose with --fuzzy (expansions lose their " +
+          "source clause's boost)")
+      // --sort-by field[:desc]: membership from the query, order from a
+      // docmeta field — a different result shape (field-ordered, no score
+      // cursor), so the score-paging/fuzzy/min-match flags are refused
+      opt(rest, "--sort-by", "") match {
+        case "" => ()
+        case spec =>
+          require(!fuzzy && after.isEmpty && minMatch == 1 && mustNot.isEmpty
+              && !hasBoost,
+            "--sort-by composes only with [--and] (field-ordered results " +
+              "have no score cursor; boosts/min-match/--not shape scoring " +
+              "or membership the sorted surface does not thread)")
+          import org.apache.spark.sql.functions.col
+          val (field, asc) = spec.split(':') match {
+            case Array(f) => (f, false)
+            case Array(f, "desc") => (f, false)
+            case Array(f, "asc") => (f, true)
+            case _ => sys.error(s"--sort-by expects field[:asc|desc], got '$spec'")
+          }
+          val sortCol = if (asc) col(field).asc else col(field).desc
+          val out = Searcher.searchSortBy(spark, h, terms, Seq(sortCol),
+            k.toInt, conjunctive = conj).select("docId", field).collect()
+          out.foreach(r => println(f"${r.getLong(0)}%12d  $field=${r.get(1)}"))
+          return
+      }
       val rows =
         if (fuzzy && conj) {
           import org.apache.spark.sql.functions.col
           require(after.isEmpty,
             "--after is not supported with --and --fuzzy (grouped coverage re-ranks)")
+          require(mustNot.isEmpty,
+            "--not is not supported with --and --fuzzy (the grouped path " +
+              "does not thread the denylist; drop --fuzzy or --and)")
           graft.query.Lexicon.fuzzySearch(spark, h, terms, k.toInt,
               conjunctive = true).toDF()
             .select(col("docId"),
               Engine.quantized(col("score")).as("score_q"))
             .collect()
         } else {
+          val boosts =
+            if (hasBoost) Searcher.parseBoostClauses(terms, v.mode)
+            else Map.empty[String, Double]
           val queryTerms =
-            if (!fuzzy) Analyzer.tokens(terms, v.mode).toSeq
+            if (hasBoost) boosts.keys.toSeq
+            else if (!fuzzy) Analyzer.tokens(terms, v.mode).toSeq
             else {
               val toks = Analyzer.tokens(terms, v.mode).toSeq.distinct
               val xp = graft.query.Lexicon.expandTerms(spark, v, toks)
@@ -333,8 +378,12 @@ object Cli {
               println(s"fuzzy-expanded ${toks.mkString(",")} -> ${xp.sorted.mkString(",")}")
               xp
             }
+          val deny =
+            if (mustNot.isEmpty) None
+            else Some(Searcher.mustNotDenySnap(spark, v, mustNot))
           Searcher.searchAfterTermsSnap(spark, v, queryTerms, cs, cd,
-            k.toInt, conj, minMatch = minMatch).collect()
+            k.toInt, conj, minMatch = minMatch, denyDocs = deny,
+            boosts = boosts).collect()
         }
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(

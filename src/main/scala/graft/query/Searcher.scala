@@ -500,6 +500,15 @@ object Searcher {
     */
   def topKBoostedSnap(spark: SparkSession, v: Snapshot, query: String, k: Int,
                       minMatch: Int = 1): Dataset[Hit] = {
+    val boosts = parseBoostClauses(query, v.mode)
+    topKTermsSnap(spark, v, boosts.keys.toSeq, k, minMatch = minMatch,
+      boosts = boosts)
+  }
+
+  /** `term^boost` clause parse → analyzed-term → boost map (shared by
+    * [[topKBoostedSnap]] and the CLI, so the clause grammar cannot drift).
+    */
+  def parseBoostClauses(query: String, mode: Analyzer.Mode): Map[String, Double] = {
     val termBoosts: Seq[(String, Double)] =
       query.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { clause =>
         val (txt, boost) = clause.lastIndexOf('^') match {
@@ -510,11 +519,9 @@ object Searcher {
             require(b > 0.0, s"boost must be positive in clause '$clause'")
             (clause.substring(0, i), b)
         }
-        Analyzer.tokens(txt, v.mode).map(_ -> boost)
+        Analyzer.tokens(txt, mode).map(_ -> boost)
       }
-    val boosts = termBoosts.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
-    topKTermsSnap(spark, v, boosts.keys.toSeq, k, minMatch = minMatch,
-      boosts = boosts)
+    termBoosts.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
   }
 
   def topKBoosted(spark: SparkSession, h: IndexBuilder.Handle, query: String,
@@ -532,7 +539,17 @@ object Searcher {
     * stream (docsWithAnySnap), not a driver-resident bitset.
     */
   def topKMustNotSnap(spark: SparkSession, v: Snapshot, query: String,
-                      mustNot: String, k: Int, minMatch: Int = 1): Dataset[Hit] = {
+                      mustNot: String, k: Int, minMatch: Int = 1): Dataset[Hit] =
+    topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
+      minMatch = minMatch, denyDocs = Some(mustNotDenySnap(spark, v, mustNot)))
+
+  /** The sorted must_not denylist (docIds containing ANY excluded term) —
+    * shared by [[topKMustNotSnap]] and the CLI's `--not`, which composes
+    * it with cursor paging. Fails loudly past [[MaxAllowDocs]] (see
+    * [[topKMustNotSnap]]'s scale note).
+    */
+  def mustNotDenySnap(spark: SparkSession, v: Snapshot,
+                      mustNot: String): Array[Long] = {
     import spark.implicits._
     val notTerms = Analyzer.tokens(mustNot, v.mode).toSeq.distinct
     require(notTerms.nonEmpty, "must_not clause analyzed to zero terms")
@@ -543,8 +560,7 @@ object Searcher {
         "denylist path; anti-join the exhaustive unranked hit stream " +
         "against docsWithAnySnap instead")
     java.util.Arrays.sort(deny)
-    topKTermsSnap(spark, v, Analyzer.tokens(query, v.mode).toSeq, k,
-      minMatch = minMatch, denyDocs = Some(deny))
+    deny
   }
 
   def topKMustNot(spark: SparkSession, h: IndexBuilder.Handle, query: String,
@@ -565,9 +581,11 @@ object Searcher {
     * the driver, never a global sort.
     */
   def searchSortBy(spark: SparkSession, h: IndexBuilder.Handle, query: String,
-                   sortCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+                   sortCols: Seq[org.apache.spark.sql.Column], k: Int,
+                   conjunctive: Boolean = false): DataFrame = {
     val v = h.snapshot
-    val hits = topKSnap(spark, v, query, Int.MaxValue, ranked = false).toDF()
+    val hits = topKSnap(spark, v, query, Int.MaxValue, conjunctive,
+      ranked = false).toDF()
     hits.select(col("docId")).join(v.docmetaAll(spark).toDF(), "docId")
       .orderBy(sortCols :+ col("docId").asc: _*)
       .limit(k)
@@ -635,10 +653,13 @@ object Searcher {
   def searchAfterTermsSnap(spark: SparkSession, v: Snapshot, terms: Seq[String],
                            afterScoreQ: Long, afterDocId: Long, k: Int,
                            conjunctive: Boolean = false,
-                           minMatch: Int = 1): DataFrame = {
+                           minMatch: Int = 1,
+                           denyDocs: Option[Array[Long]] = None,
+                           boosts: Map[String, Double] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, desc}
     val hits = topKTermsSnap(spark, v, terms, Int.MaxValue, conjunctive,
-      ranked = false, maxScoreQ = afterScoreQ, minMatch = minMatch).toDF()
+      ranked = false, maxScoreQ = afterScoreQ, minMatch = minMatch,
+      denyDocs = denyDocs, boosts = boosts).toDF()
     hits
       .select(col("docId"), graft.Engine.quantized(col("score")).as("score_q"))
       .filter(col("score_q") < afterScoreQ ||

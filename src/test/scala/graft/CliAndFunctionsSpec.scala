@@ -97,6 +97,22 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("search", idx, "5", "a", "b", "--fuzzy", "--min-match", "2"))
     }
+    // boosted clauses, must_not exclusion, field-sorted results
+    Cli.run(spark, Seq("search", idx, "5", "spark^2.5", "merge"))
+    Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--not", "window"))
+    Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--sort-by", "dl:desc"))
+    Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--sort-by", "dl:asc"))
+    // refused compositions fail loudly instead of silently mis-scoring
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "spark^2", "--fuzzy"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "spark", "--sort-by", "dl", "--fuzzy"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "spork", "strean", "--and", "--fuzzy",
+        "--not", "window"))
+    }
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     // missing doc_id fails loudly, not with a bare head() crash
