@@ -24,6 +24,7 @@ import graft.streaming.StreamingIngest
   *             [--not "<terms>"] [--sort-by field[:asc|desc]]
   *             (clauses may carry ES-style boosts: term^2.5)
   *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
+  *   graft.Cli explain <indexDir> <docId> <query terms...>  (score breakdown)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
   * `export` accepts either a directory containing `documents.parquet`
@@ -388,6 +389,22 @@ object Cli {
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(
         s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
+
+    case "explain" :: indexDir :: docId :: rest =>
+      // ES _explain: why does this doc score what it scores for this query
+      val h = IndexBuilder.openHandle(indexDir)
+      val q = positionalArgs(rest).mkString(" ")
+      val rows = Searcher.explainScore(spark, h, q, docId.toLong).collect()
+      if (rows.isEmpty) println(s"doc $docId matches no query term")
+      else {
+        rows.foreach(r => println(
+          f"${r.getString(0)}%-24s tf=${r.getLong(1)}%-6d df=${r.getLong(2)}%-8d " +
+            f"dl=${r.getLong(3)}%-6d idf_q=${r.getLong(4)}%-8d " +
+            f"impact_q=${r.getLong(5)}%-8d contrib_q=${r.getLong(6)}%d"))
+        println(s"score_q(sum of exact contribs) = " +
+          rows.map(_.getLong(6)).sum + " (per-row quantization; ranked " +
+          "surfaces quantize the exact sum)")
+      }
 
     case "suggest" :: indexDir :: prefix :: rest =>
       // autocomplete over the live dictionary (batch ∪ streamed segments)

@@ -253,6 +253,15 @@ object SparkEntry {
         .select(docIdExpr.as("doc_id"), col("dl").cast("long").as("dl"))
         .orderBy(desc("dl"), col("doc_id"))
     },
+    // ES _explain: per-clause BM25 breakdown for one (query, doc) pair —
+    // tf/df/dl and quantized idf/impact/contribution per matched term
+    "ft_explain" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val id = h.docmetaAll(s).toDF()
+        .filter(element_at(split(col("path"), "/"), 2) === "7")
+        .select(col("docId")).collect().head.getLong(0)
+      Searcher.explainScore(s, h, "spark merge window", id)
+    },
     // ES bool filter context: scored must + non-scoring metadata filter —
     // membership restricted inside the collectors, BM25 stats corpus-wide
     "ft_search_filtered" -> { (s, dir) =>
@@ -507,6 +516,10 @@ object SparkEntry {
     // ES histogram agg (numeric interval) and top_hits-under-terms
     "agg_histogram" -> ((s, d) => Aggs.histogram(s, d)),
     "agg_top_hits" -> ((s, d) => Aggs.topHits(s, d)),
+    // ES filters agg (named predicate buckets + other_bucket) and
+    // date_range agg (named half-open ranges) — one conditional-agg scan
+    "agg_filters" -> ((s, d) => Aggs.filtersAgg(s, d)),
+    "agg_date_range" -> ((s, d) => Aggs.dateRangeAgg(s, d)),
     // ES composite agg with `after`: page 2 (buckets 11-20) of the
     // (event_type, day) bucket space, resumed from page 1's after_key —
     // the collect is the 10-row page 1, exactly the ES client round-trip
@@ -654,6 +667,23 @@ object SparkEntry {
          |SELECT m.doc_id AS doc_id, dlt.dl AS dl
          |FROM m JOIN dlt USING (doc_id)
          |ORDER BY dl DESC, doc_id LIMIT 50""".stripMargin,
+    // _explain: per-clause breakdown for doc_id 7 — impact parenthesized
+    // exactly as the engine associates it (idf * (tf / denom))
+    "ft_explain" ->
+      s"""WITH $toksCte,
+         |tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t2 GROUP BY 1, 2),
+         |dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |                 (SELECT sum(dl) FROM dlt) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+         |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1)
+         |SELECT tft.term AS term, CAST(tft.tf AS BIGINT) AS tf,
+         |       CAST(dft.df AS BIGINT) AS df, CAST(dlt.dl AS BIGINT) AS dl,
+         |       ${q4("ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))")} AS idf_q,
+         |       ${q4("tft.tf / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / stats.avgdl))")} AS impact_q,
+         |       ${q4("ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * (tft.tf / (tft.tf + 1.2 * (1 - 0.75 + 0.75 * dlt.dl / stats.avgdl)))")} AS contrib_q
+         |FROM tft JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN stats
+         |WHERE tft.doc_id = 7 AND tft.term IN ('merge', 'spark', 'window')
+         |ORDER BY term""".stripMargin,
     "ft_term_lookup" ->
       s"""WITH $toksCte
          |SELECT DISTINCT doc_id FROM t2 WHERE term = 'customer' ORDER BY doc_id""".stripMargin,
@@ -870,6 +900,34 @@ object SparkEntry {
          |  FROM events)
          |SELECT event_type, rank, event_id, value_q FROM r
          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    // filters agg: overlapping named predicate buckets + other_bucket
+    "agg_filters" ->
+      s"""SELECT 'clicks' AS bucket, count(*) AS n, ${q4("sum(value)")} AS sum_q
+         |FROM events WHERE event_type = 'click'
+         |UNION ALL
+         |SELECT 'errors', count(*), ${q4("sum(value)")}
+         |FROM events WHERE event_type = 'error'
+         |UNION ALL
+         |SELECT 'high_value', count(*), ${q4("sum(value)")}
+         |FROM events WHERE value > 90
+         |UNION ALL
+         |SELECT '_other', count(*), ${q4("sum(value)")}
+         |FROM events
+         |WHERE NOT (event_type = 'click' OR event_type = 'error' OR value > 90)
+         |ORDER BY bucket""".stripMargin,
+    // date_range agg: half-open [from, to) named ranges, ES convention
+    "agg_date_range" ->
+      s"""SELECT 'early' AS bucket, count(*) AS n, ${q4("sum(o_totalprice)")} AS sum_q
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |              AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |UNION ALL
+         |SELECT 'mid', count(*), ${q4("sum(o_totalprice)")}
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |              AND o_orderdate <  TIMESTAMP '1999-01-01'
+         |UNION ALL
+         |SELECT 'late', count(*), ${q4("sum(o_totalprice)")}
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+         |ORDER BY bucket""".stripMargin,
     // composite-with-after page 2: the cursor is bucket 10 of the
     // (event_type, day) keyset; page 2 = the next 10 strictly after it
     "agg_composite_page" ->

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Engine.quantized
@@ -241,6 +241,55 @@ object Aggs {
       case None => g
     }
     paged.orderBy(col("event_type"), col("day")).limit(size)
+  }
+
+  /** Shared shape of the NAMED-BUCKET aggs ([[filtersAgg]], [[dateRangeAgg]]):
+    * every bucket aggregates conditionally inside ONE partial-aggregated
+    * reduction to a single row (no per-bucket scans, no data shuffle — the
+    * only exchange is the one-row final agg), then unpivots driver-cheap
+    * via `stack`. At 100 TB this is one pass vs |buckets| passes.
+    */
+  private def namedBucketAgg(df: DataFrame,
+                             buckets: Seq[(String, Column)],
+                             value: Column): DataFrame = {
+    val aggCols = buckets.flatMap { case (name, p) =>
+      Seq(count(when(p, 1)).as(s"n@$name"),
+        quantized(sum(when(p, value))).as(s"s@$name"))
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = buckets.map { case (name, _) =>
+      s"'$name', `n@$name`, `s@$name`" }.mkString(", ")
+    row.selectExpr(s"stack(${buckets.size}, $stackArgs) AS (bucket, n, sum_q)")
+      .orderBy(col("bucket"))
+  }
+
+  /** ES `filters` aggregation: named buckets from ARBITRARY predicates —
+    * buckets may overlap (a doc lands in every filter it matches), and
+    * ES's `other_bucket` catches docs matching none.
+    */
+  def filtersAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds: Seq[(String, Column)] = Seq(
+      "clicks" -> (col("event_type") === "click"),
+      "errors" -> (col("event_type") === "error"),
+      "high_value" -> (col("value") > 90.0))
+    val other = "_other" -> !preds.map(_._2).reduce(_ || _)
+    namedBucketAgg(t(spark, sfDir, "events"), preds :+ other, col("value"))
+  }
+
+  /** ES `date_range` aggregation: named half-open [from, to) ranges (the
+    * ES convention — from inclusive, to exclusive; either side open).
+    */
+  def dateRangeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("o_orderdate")
+    val ranges: Seq[(String, Option[String], Option[String])] = Seq(
+      ("early", Some("1995-01-01"), Some("1997-01-01")),
+      ("late", Some("1999-01-01"), None),
+      ("mid", Some("1997-01-01"), Some("1999-01-01")))
+    val buckets = ranges.map { case (name, from, to) =>
+      name -> (from.map(f => d >= lit(f).cast("timestamp")).getOrElse(lit(true)) &&
+        to.map(u => d < lit(u).cast("timestamp")).getOrElse(lit(true)))
+    }
+    namedBucketAgg(t(spark, sfDir, "orders"), buckets, col("o_totalprice"))
   }
 
   /** A2: first/last row (min/max of the ordering key). */

@@ -683,6 +683,54 @@ object Searcher {
       .toDF("docId").distinct()
   }
 
+  /** ES `_explain` analog: the per-clause BM25 breakdown for ONE
+    * (query, document) pair — term, stored tf/dl, df, and the idf /
+    * length-normalized impact / clause contribution, quantized with the
+    * standard convention so the breakdown is oracle-checkable. Summing the
+    * contrib rows gives exactly the doc's score in the ranked surfaces
+    * (same double expressions, same ascending-term order).
+    *
+    * Scale shape: ONE pruned postings scan — `term IN` pushes to parquet
+    * row groups and the (firstDocId, lastDocId) bracket predicate (block
+    * metadata columns, also pushed) short-circuits every block that cannot
+    * contain the target doc, so cost is O(blocks bracketing one docId),
+    * never a term's full posting list. A tombstoned doc is refused loudly
+    * (ES `_explain` on a deleted doc 404s).
+    */
+  def explainScore(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                   docId: Long): DataFrame = {
+    import spark.implicits._
+    val v = h.snapshot
+    require(liveDocOf(tombstones(spark, v))(docId),
+      s"doc $docId is tombstoned — it no longer matches any query")
+    val (st, _) = liveStats(spark, v)
+    val terms = Analyzer.tokens(query, v.mode).toSeq.distinct.sorted
+    require(terms.nonEmpty, "query analyzed to zero terms")
+    val dfs = dfForCached(spark, v, terms)
+    val tgt = docId
+    // ≤ |terms| rows by construction (per term, one salt range and one
+    // segment's docId range bracket tgt) — the collect is bounded
+    val found = v.postingsAll(spark)
+      .filter($"term".isin(terms: _*) &&
+        $"firstDocId" <= tgt && $"lastDocId" >= tgt)
+      .flatMap { b =>
+        val ids = graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
+        val i = java.util.Arrays.binarySearch(ids, tgt)
+        if (i < 0) Iterator.empty
+        else Iterator((b.term,
+          graft.index.Codec.decodeInts(b.tfs, b.n)(i),
+          graft.index.Codec.decodeInts(b.dls, b.n)(i)))
+      }.collect()
+    val rows = found.toSeq.sortBy(_._1).map { case (t, tf, dl) =>
+      val df = dfs.getOrElse(t, 0L)
+      val idf = Bm25.idf(st.n, df)
+      val imp = Bm25.impact(tf, dl, st.avgdl)
+      (t, tf.toLong, df, dl.toLong, quantize(idf), quantize(imp),
+        quantize(idf * imp))
+    }
+    rows.toDF("term", "tf", "df", "dl", "idf_q", "impact_q", "contrib_q")
+  }
+
   /** Exact boolean term lookup (F1/F11): docIds containing `term`, over
     * batch ∪ streamed segments.
     */

@@ -113,6 +113,7 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
       Cli.run(spark, Seq("search", idx, "5", "spork", "strean", "--and", "--fuzzy",
         "--not", "window"))
     }
+    Cli.run(spark, Seq("explain", idx, "3", "spark", "merge"))
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     // missing doc_id fails loudly, not with a bare head() crash

@@ -414,6 +414,34 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       s"sort-by plan pays a global sort exchange:\n$plan")
   }
 
+  test("explain: per-clause breakdown reconstructs the doc's exact score") {
+    import graft.query.Bm25
+    val q = "read parquet the"
+    val hit = Searcher.topK(spark, handle, q, 1).collect().head
+    val rows = Searcher.explainScore(spark, handle, q, hit.docId).collect()
+    assert(rows.nonEmpty)
+    val terms = rows.map(_.getString(0)).toSeq
+    assert(terms == terms.sorted && terms == terms.distinct,
+      "one row per matched term, ascending")
+    val (stats, _) = handle.liveStats(spark)
+    // summing the clause contributions in ascending-term order reproduces
+    // the WAND score BIT-EXACTLY (same doubles, same summation order)
+    val score = rows.map(r => Bm25.contribution(r.getLong(1).toInt,
+      r.getLong(3).toInt, stats.avgdl, stats.n, r.getLong(2))).sum
+    assert(score == hit.score, s"explain sum $score != hit score ${hit.score}")
+    // quantized columns follow the standard convention
+    rows.foreach { r =>
+      assert(r.getLong(4) == Searcher.quantize(Bm25.idf(stats.n, r.getLong(2))))
+      assert(r.getLong(5) == Searcher.quantize(Bm25.impact(r.getLong(1).toInt,
+        r.getLong(3).toInt, stats.avgdl)))
+    }
+    // dl is the same stored doc length on every row
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+    // absent terms yield no rows; an all-absent query explains to empty
+    assert(Searcher.explainScore(spark, handle, "zzzabsentterm", hit.docId)
+      .collect().isEmpty)
+  }
+
   test("docIds dense, unique, zero-based") {
     import spark.implicits._
     val ids = handle.docmeta(spark).map(_.docId).collect().sorted

@@ -185,6 +185,27 @@ class OpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("filters agg: every named bucket equals its predicate count, one scan, overlap kept") {
+    val f = graft.query.Aggs.filtersAgg(spark, sfDir)
+    val rows = f.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(rows("clicks") == e.filter(col("event_type") === "click").count())
+    assert(rows("errors") == e.filter(col("event_type") === "error").count())
+    assert(rows("high_value") == e.filter(col("value") > 90.0).count())
+    assert(rows("_other") == e.filter(!(col("event_type") === "click" ||
+      col("event_type") === "error" || col("value") > 90.0)).count())
+    // buckets OVERLAP (ES semantics — not a partition): a high-value click
+    // counts in both, so bucket counts exceed the row count
+    val overlap = e.filter((col("event_type") === "click" ||
+      col("event_type") === "error") && col("value") > 90.0).count()
+    assert(overlap > 0, "fixture: need overlapping docs for the test to bite")
+    assert(rows.values.sum == e.count() + overlap)
+    // ONE pass over events: a single parquet scan feeds every bucket
+    // (AQE prints Final + Initial — count only the final plan's scans)
+    val plan = f.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+  }
+
   test("composite agg: pages tile the bucket set, after-key is strict, plan takes ordered") {
     import graft.query.Aggs
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
