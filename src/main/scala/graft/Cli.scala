@@ -25,6 +25,7 @@ import graft.streaming.StreamingIngest
   *             (clauses may carry ES-style boosts: term^2.5)
   *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
   *   graft.Cli explain <indexDir> <docId> <query terms...>  (score breakdown)
+  *   graft.Cli wildcard <indexDir> <k> <pattern>   (dictionary-rewrite search)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
   * `export` accepts either a directory containing `documents.parquet`
@@ -389,6 +390,18 @@ object Cli {
       rows.foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
       if (!(fuzzy && conj)) rows.lastOption.foreach(r => println(
         s"next page: --after ${r.getLong(1)}:${r.getLong(0)}"))
+
+    case "wildcard" :: indexDir :: k :: pattern :: Nil =>
+      // ES wildcard query: dictionary rewrite (prefix-pruned + regex),
+      // expansion scored as disjunctive BM25
+      val h = IndexBuilder.openHandle(indexDir)
+      val xp = graft.query.Lexicon.wildcardTermsSnap(spark, h.snapshot, pattern)
+      println(s"wildcard '$pattern' -> ${xp.mkString(",")}")
+      graft.query.Lexicon.wildcardSearch(spark, h, pattern, k.toInt)
+        .toDF().select(org.apache.spark.sql.functions.col("docId"),
+          Engine.quantized(org.apache.spark.sql.functions.col("score")).as("score_q"))
+        .collect()
+        .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
 
     case "explain" :: indexDir :: docId :: rest =>
       // ES _explain: why does this doc score what it scores for this query

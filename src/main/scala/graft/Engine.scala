@@ -100,6 +100,26 @@ object Engine {
     })
   }
 
+  /** TWO independent indexes over disjoint corpus halves (doc_id parity) —
+    * the multi-index federated-search fixture. Federated search over both
+    * with union DFS stats must equal single-index BM25 over the full
+    * corpus, which is exactly what the driver's full-corpus oracle checks.
+    */
+  def federatedIndexesFor(spark: SparkSession,
+                          sfDir: String): Seq[(String, IndexBuilder.Handle)] = {
+    import spark.implicits._
+    Seq(0, 1).map { par =>
+      s"fed$par" -> sessionCache(spark).getOrElseUpdate(s"$sfDir|fed$par", {
+        val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-index/$FormatVersion-fed$par-$key"
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter($"doc_id" % 2 === par)
+        IndexBuilder.build(spark, Corpus.fromDocumentsDf(spark, docs), dir,
+          IndexBuilder.Config(salts = 4))
+      })
+    }
+  }
+
   /** Tombstone fixtures (Compactor.tombstone — the dedup-enforcement /
     * delete path): a full-corpus index whose docs with doc_id % 7 == 3 are
     * tombstoned.

@@ -253,6 +253,26 @@ object SparkEntry {
         .select(docIdExpr.as("doc_id"), col("dl").cast("long").as("dl"))
         .orderBy(desc("dl"), col("doc_id"))
     },
+    // ES wildcard query: the pattern rewrites against the term dictionary
+    // (prefix-pruned scan + anchored regex), expansion scores disjunctive
+    // BM25 — cap provably non-binding on this corpus (6-term expansion)
+    "ft_wildcard_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Lexicon.wildcardSearch(s, h, "s*", Int.MaxValue).toDF())
+    },
+    // ES multi-index search (GET /a,b/_search, dfs global stats): two
+    // disjoint half-corpus indexes scored against union stats — the union
+    // of per-index hits must equal single-index BM25 over the full corpus
+    "ft_federated_search" -> { (s, dir) =>
+      val parts = Engine.federatedIndexesFor(s, dir)
+      val out = Searcher.topKFederated(s, parts, "stream filter", Int.MaxValue)
+      parts.map { case (tag, h) =>
+        Engine.hitsAsDocIds(s, h,
+          out.filter(col("index") === tag).select(col("docId"), col("score")),
+          ranked = false)
+      }.reduce(_ union _).orderBy(desc("score_q"), col("doc_id"))
+    },
     // ES _explain: per-clause BM25 breakdown for one (query, doc) pair —
     // tf/df/dl and quantized idf/impact/contribution per matched term
     "ft_explain" -> { (s, dir) =>
@@ -667,6 +687,12 @@ object SparkEntry {
          |SELECT m.doc_id AS doc_id, dlt.dl AS dl
          |FROM m JOIN dlt USING (doc_id)
          |ORDER BY dl DESC, doc_id LIMIT 50""".stripMargin,
+    // wildcard: the UNCAPPED SQL expansion (every vocab term LIKE 's%')
+    "ft_wildcard_search" -> bm25ExpandedSql(
+      """fz AS (SELECT DISTINCT term FROM dft WHERE term LIKE 's%'),
+        |xp AS (SELECT term FROM fz)""".stripMargin),
+    // federated two-index search ≡ BM25 over the undivided corpus
+    "ft_federated_search" -> bm25Sql(Seq("filter", "stream"), conjunctive = false),
     // _explain: per-clause breakdown for doc_id 7 — impact parenthesized
     // exactly as the engine associates it (idf * (tf / denom))
     "ft_explain" ->

@@ -64,6 +64,62 @@ object Lexicon {
               prefix: String, k: Int = 10): DataFrame =
     suggestSnap(spark, h.snapshot, prefix, k)
 
+  // ---- wildcard ------------------------------------------------------------
+
+  /** Translate an ES `wildcard` pattern (`*` = any run, `?` = one char)
+    * into (literal prefix, anchored Java regex). The prefix before the
+    * first wildcard prunes the dictionary scan exactly like [[suggestSnap]]
+    * (termstats is range-sorted on `term`, so StringStartsWith prunes to
+    * the prefix's row groups); `rlike` (codegen'd) verifies survivors.
+    */
+  private[graft] def wildcardPlan(pattern: String): (String, String) = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    val i = pattern.indexWhere(c => c == '*' || c == '?')
+    val prefix = if (i < 0) pattern else pattern.substring(0, i)
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    (prefix, sb.append('$').toString)
+  }
+
+  /** Vocabulary terms matching the wildcard, df-ranked cap (the ES
+    * `top_terms_N` rewrite). A LEADING-wildcard pattern is refused loudly:
+    * it forces a full dictionary scan — ES disables `allow_leading_
+    * wildcard`-style patterns on the same grounds; at 100 TB the right
+    * structure is a reversed-term dictionary, not a silent full scan.
+    */
+  def wildcardTermsSnap(spark: SparkSession, v: Snapshot, pattern: String,
+                        maxExpansions: Int = 50): Seq[String] = {
+    val (prefix, re) = wildcardPlan(pattern)
+    require(prefix.nonEmpty,
+      s"leading-wildcard pattern '$pattern' would scan the whole " +
+        "dictionary — anchor it with a literal prefix")
+    import spark.implicits._
+    v.termstatsAll(spark).toDF()
+      .filter(col("term").startsWith(prefix) && col("term").rlike(re))
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(maxExpansions)
+      .select("term").as[String].collect().toSeq.sorted
+  }
+
+  /** Wildcard BM25 search — the expansion set scores as one disjunctive
+    * query, identical to the fuzzy composition (same scorer, different
+    * rewrite).
+    */
+  def wildcardSearch(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+                     pattern: String, k: Int,
+                     maxExpansions: Int = 50): Dataset[Hit] = {
+    import spark.implicits._
+    val v = h.snapshot
+    val terms = wildcardTermsSnap(spark, v, pattern, maxExpansions)
+    if (terms.isEmpty) spark.emptyDataset[Hit]
+    else Searcher.topKTermsSnap(spark, v, terms, k)
+  }
+
   // ---- SymSpell fuzzy dictionary -------------------------------------------
 
   /** All strings obtainable from `s` by deleting at most `maxDist`

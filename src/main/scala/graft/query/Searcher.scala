@@ -333,10 +333,21 @@ object Searcher {
                     minMatch: Int = 1,
                     allowDocs: Option[Array[Long]] = None,
                     denyDocs: Option[Array[Long]] = None,
-                    boosts: Map[String, Double] = Map.empty): Dataset[Hit] = {
+                    boosts: Map[String, Double] = Map.empty,
+                    statsOverride: Option[graft.index.IndexStats] = None,
+                    dfsOverride: Option[Map[String, Long]] = None): Dataset[Hit] = {
     import spark.implicits._
     val terms = terms0.distinct.sorted
-    val (st, boundFactor) = liveStats(spark, v)
+    val (st0, boundFactor0) = liveStats(spark, v)
+    // a FEDERATED caller (topKFederated) scores this index's postings
+    // against the UNION's n/avgdl/df (the ES DFS-query-then-fetch global
+    // stats). The stored block maxima stay admissible scaled by the avgdl
+    // ratio: impact is monotone in avgdl with impact(r·a) ≤ r·impact(a),
+    // so bounds valid at this index's avgdl remain bounds at the union's.
+    val st = statsOverride.getOrElse(st0)
+    val boundFactor =
+      if (statsOverride.isEmpty) boundFactor0
+      else boundFactor0 * math.max(1.0, st.avgdl / st0.avgdl)
     val n = st.n
     val avgdl = st.avgdl
     if (terms.isEmpty) return spark.emptyDataset[Hit]
@@ -376,7 +387,7 @@ object Searcher {
     def driverWand(blocks: Seq[PostingBlock]): Dataset[Hit] = {
       // df ≡ Σ block n per term (index invariant) — no termstats job needed
       val dfs = blocks.groupBy(_.term).map { case (t, bs) => t -> bs.iterator.map(_.n.toLong).sum }
-      val idfs = idfsOf(dfs)
+      val idfs = idfsOf(dfsOverride.getOrElse(dfs))
       val hits = saltWand(blocks, idfs, avgdl, k, conj, nTerms, boundFactor,
           keepOf(liveDocOf(dead)), minM)
         .toArray.sortBy { case (d, s) => (-s, d) }
@@ -388,7 +399,7 @@ object Searcher {
       // large-df path: NO caching by design — this is the regime where the
       // posting volume is a meaningful corpus fraction, so the right plan is
       // the pushed-down pruned scan feeding the per-salt WAND, not residency
-      val dfs = dfForCached(spark, v, terms)
+      val dfs = dfsOverride.getOrElse(dfForCached(spark, v, terms))
       val idfs = idfsOf(dfs)
       val base = if (resident) residentPostings(spark, v) else v.postingsAll(spark)
       val matching = base.filter($"term".isin(terms: _*))
@@ -681,6 +692,53 @@ object Searcher {
       .filter($"term".isin(terms: _*))
       .flatMap(b => graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId).iterator)
       .toDF("docId").distinct()
+  }
+
+  /** FEDERATED search — the ES multi-index request (`GET /a,b/_search`)
+    * with DFS-query-then-fetch GLOBAL statistics: every index's postings
+    * are scored against the UNION's N / avgdl / df, so a doc's score is
+    * identical to what one merged index would give it — and since each doc
+    * lives in exactly one index, the union of per-index top-k lists IS the
+    * global ranking. (ES's default local per-shard stats drift between
+    * indexes; this is the `dfs` form, the only oracle-checkable one.)
+    *
+    * Scale shape: the stats union costs |indexes| cached metadata reads
+    * plus one pruned df lookup per index (the DFS round-trip); each index
+    * then runs its normal driver/distributed WAND with its block maxima
+    * scaled admissibly to the union avgdl (see topKTermsSnap); the global
+    * merge is a k-bounded sort over |indexes| k-bounded lists.
+    */
+  def topKFederated(spark: SparkSession,
+                    parts: Seq[(String, IndexBuilder.Handle)],
+                    query: String, k: Int,
+                    conjunctive: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc, lit}
+    require(parts.nonEmpty, "federated search over zero indexes")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "federated index tags must be unique")
+    val modes = parts.map(_._2.mode).distinct
+    require(modes.size == 1,
+      s"federated indexes disagree on analyzer mode: $modes")
+    val snaps = parts.map { case (tag, h) => tag -> h.snapshot }
+    val stats = snaps.map { case (_, v) => liveStats(spark, v)._1 }
+    val n = stats.map(_.n).sum
+    val totalTokens = stats.map(_.totalTokens).sum
+    // the same float op as a single index's exact avgdl (Σdl / N), so a
+    // federated score is bit-identical to the merged-index score
+    val avgdl = totalTokens.toDouble / n
+    val union = graft.index.IndexStats(n, avgdl, totalTokens, avgdl)
+    val terms = Analyzer.tokens(query, modes.head).toSeq.distinct.sorted
+    val perSnapDfs = snaps.map { case (_, v) => dfForCached(spark, v, terms) }
+    val dfs: Map[String, Long] =
+      terms.map(t => t -> perSnapDfs.map(_.getOrElse(t, 0L)).sum).toMap
+    val hits = snaps.map { case (tag, v) =>
+      topKTermsSnap(spark, v, terms, k, conjunctive,
+          statsOverride = Some(union), dfsOverride = Some(dfs))
+        .toDF().withColumn("index", lit(tag))
+    }.reduce(_ unionByName _)
+    val out = hits.select(col("index"), col("docId"), col("score"))
+    if (k == Int.MaxValue) out.orderBy(desc("score"), col("index"), col("docId"))
+    else out.orderBy(desc("score"), col("index"), col("docId")).limit(k)
   }
 
   /** ES `_explain` analog: the per-clause BM25 breakdown for ONE

@@ -114,6 +114,11 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
         "--not", "window"))
     }
     Cli.run(spark, Seq("explain", idx, "3", "spark", "merge"))
+    Cli.run(spark, Seq("wildcard", idx, "5", "s*"))
+    // leading wildcard = unpruned dictionary scan — refused loudly
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("wildcard", idx, "5", "*ream"))
+    }
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     // missing doc_id fails loudly, not with a bare head() crash

@@ -414,6 +414,36 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       s"sort-by plan pays a global sort exchange:\n$plan")
   }
 
+  test("federated multi-index search ≡ the single merged index, bit-exact") {
+    val q = "read parquet the"
+    // disjoint halves by path-hash parity, deliberately different salt
+    // counts — the union must not depend on either index's layout
+    val ha = IndexBuilder.build(spark,
+      corpus.filter(d => (d.path.hashCode & 1) == 0), tmpDir("graft-fedA"),
+      IndexBuilder.Config(salts = 2, mode = Analyzer.Code))
+    val hb = IndexBuilder.build(spark,
+      corpus.filter(d => (d.path.hashCode & 1) == 1), tmpDir("graft-fedB"),
+      IndexBuilder.Config(salts = 3, mode = Analyzer.Code))
+    val parts = Seq("a" -> ha, "b" -> hb)
+    val fed = Searcher.topKFederated(spark, parts, q, Int.MaxValue).collect()
+    // docIds are per-index — compare through path identity
+    val pathOf = parts.map { case (tag, h) =>
+      tag -> h.docmeta(spark).collect().map(m => m.docId -> m.path).toMap
+    }.toMap
+    val got = fed.map(r => pathOf(r.getString(0))(r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+    val pf = handle.docmeta(spark).collect().map(m => m.docId -> m.path).toMap
+    val want = full.map(h => pf(h.docId) -> h.score).toMap
+    assert(got.keySet == want.keySet)
+    // BIT-exact: union stats use the same double ops as the merged index
+    got.foreach { case (p, s) => assert(s == want(p), s"path $p") }
+    assert(pathOf("a").nonEmpty && pathOf("b").nonEmpty, "both halves populated")
+    // finite k = the first k of the merged ranking
+    val top7 = Searcher.topKFederated(spark, parts, q, 7).collect()
+    assert(top7.map(_.getDouble(2)).toSeq ==
+      want.values.toSeq.sorted.reverse.take(7))
+  }
+
   test("explain: per-clause breakdown reconstructs the doc's exact score") {
     import graft.query.Bm25
     val q = "read parquet the"

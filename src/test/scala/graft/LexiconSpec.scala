@@ -113,6 +113,35 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("wildcard: expansion ≡ brute regex over vocab, search ≡ expanded BM25, leading-* refused") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val dict = vocab()
+    for (pat <- Seq("s*", "f*r", "s?an", "stream", "s*x*")) {
+      val re = pat.flatMap {
+        case '*' => ".*"; case '?' => "."; case c => java.util.regex.Pattern.quote(c.toString)
+      }
+      val want = dict.map(_._1).filter(_.matches(re)).toSeq.sorted
+      assert(Lexicon.wildcardTermsSnap(spark, v, pat) == want, s"pattern $pat")
+    }
+    // cap orders by (df desc, term asc) — same contract as fuzzy
+    val byDf = dict.filter(_._1.startsWith("s")).sortBy { case (t, df) => (-df, t) }
+    assert(byDf.length > 2)
+    assert(Lexicon.wildcardTermsSnap(spark, v, "s*", maxExpansions = 2) ==
+      byDf.take(2).map(_._1).toSeq.sorted)
+    // search ≡ disjunctive BM25 over the hand-expanded set, bit-exact
+    val xp = Lexicon.wildcardTermsSnap(spark, v, "s*")
+    val got = Lexicon.wildcardSearch(spark, h, "s*", 10).collect()
+    val want = Searcher.topKTermsSnap(spark, v, xp, 10).collect()
+    assert(got.map(x => (x.docId, x.score)).toSeq ==
+      want.map(x => (x.docId, x.score)).toSeq)
+    intercept[IllegalArgumentException] {
+      Lexicon.wildcardTermsSnap(spark, v, "*eam")
+    }
+    // a pattern matching nothing searches to empty, loudly not wrongly
+    assert(Lexicon.wildcardSearch(spark, h, "zz*", 10).collect().isEmpty)
+  }
+
   test("prefix suggest matches dictionary df and orders (df desc, term asc)") {
     val h = Engine.indexFor(spark, sfDir)
     val got = Lexicon.suggest(spark, h, "s", 10)
