@@ -233,6 +233,33 @@ object Bench {
         Lexicon.suggest(spark, h, "s", 10).collect() // warm
         val (_, sg) = timed(Lexicon.suggest(spark, h, "s", 10).collect())
         results += "suggest" -> sg
+        // wildcard (r5): prefix-pruned dictionary rewrite + disjunctive
+        // BM25 over the expansion (6 terms on this corpus)
+        Lexicon.wildcardSearch(spark, h, "s*", 10).collect() // warm
+        val (_, wc) = timed(Lexicon.wildcardSearch(spark, h, "s*", 10).collect())
+        results += "bm25_wildcard" -> wc
+      }
+
+      // federated two-index search (r5): the corpus split into disjoint
+      // half indexes, queried as one with union DFS stats — the claim is
+      // that federation costs ~one query, not 2×: the stats/df union is
+      // cached metadata + pruned lookups, each side runs its normal WAND,
+      // and the merge is k-bounded
+      {
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val parts = Seq(0, 1).map { par =>
+          val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-fed$par"
+          rmrf(dir)
+          s"fed$par" -> IndexBuilder.build(spark,
+            Corpus.fromDocumentsDf(spark, docs.filter($"doc_id" % 2 === par)),
+            dir, IndexBuilder.Config(salts = 4, partitions = cpus,
+              mode = Analyzer.Simple))
+        }
+        Searcher.topKFederated(spark, parts, "merge window", 10).collect() // warm
+        val (_, fed) = timed(
+          Searcher.topKFederated(spark, parts, "merge window", 10).collect())
+        results += "bm25_federated" -> fed
       }
 
       // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
