@@ -26,6 +26,7 @@ import graft.streaming.StreamingIngest
   *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
   *   graft.Cli explain <indexDir> <docId> <query terms...>  (score breakdown)
   *   graft.Cli wildcard <indexDir> <k> <pattern>   (dictionary-rewrite search)
+  *   graft.Cli regexp <indexDir> <k> <pattern>     (anchored-regex rewrite search)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
   * `export` accepts either a directory containing `documents.parquet`
@@ -398,6 +399,18 @@ object Cli {
       val xp = graft.query.Lexicon.wildcardTermsSnap(spark, h.snapshot, pattern)
       println(s"wildcard '$pattern' -> ${xp.mkString(",")}")
       graft.query.Lexicon.wildcardSearch(spark, h, pattern, k.toInt)
+        .toDF().select(org.apache.spark.sql.functions.col("docId"),
+          Engine.quantized(org.apache.spark.sql.functions.col("score")).as("score_q"))
+        .collect()
+        .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
+
+    case "regexp" :: indexDir :: k :: pattern :: Nil =>
+      // ES regexp query: anchored-pattern dictionary rewrite (mandatory-
+      // prefix-pruned + rlike verify), expansion scored as disjunctive BM25
+      val h = IndexBuilder.openHandle(indexDir)
+      val xp = graft.query.Lexicon.regexpTermsSnap(spark, h.snapshot, pattern)
+      println(s"regexp '$pattern' -> ${xp.mkString(",")}")
+      graft.query.Lexicon.regexpSearch(spark, h, pattern, k.toInt)
         .toDF().select(org.apache.spark.sql.functions.col("docId"),
           Engine.quantized(org.apache.spark.sql.functions.col("score")).as("score_q"))
         .collect()

@@ -261,6 +261,14 @@ object SparkEntry {
       Engine.hitsAsDocIds(s, h,
         graft.query.Lexicon.wildcardSearch(s, h, "s*", Int.MaxValue).toDF())
     },
+    // ES regexp query: anchored-pattern dictionary rewrite (mandatory-
+    // prefix-pruned scan + rlike verify), expansion scores disjunctive
+    // BM25 — cap non-binding on this corpus (2-term expansion)
+    "ft_regexp_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Lexicon.regexpSearch(s, h, "s(p|t)[a-z]*", Int.MaxValue).toDF())
+    },
     // ES multi-index search (GET /a,b/_search, dfs global stats): two
     // disjoint half-corpus indexes scored against union stats — the union
     // of per-index hits must equal single-index BM25 over the full corpus
@@ -690,6 +698,12 @@ object SparkEntry {
     // wildcard: the UNCAPPED SQL expansion (every vocab term LIKE 's%')
     "ft_wildcard_search" -> bm25ExpandedSql(
       """fz AS (SELECT DISTINCT term FROM dft WHERE term LIKE 's%'),
+        |xp AS (SELECT term FROM fz)""".stripMargin),
+    // regexp: the UNCAPPED SQL expansion (every vocab term fully matching
+    // the anchored pattern — DuckDB regexp_full_match ≡ our ^(?:…)$ rlike)
+    "ft_regexp_search" -> bm25ExpandedSql(
+      """fz AS (SELECT DISTINCT term FROM dft
+        |       WHERE regexp_full_match(term, 's(p|t)[a-z]*')),
         |xp AS (SELECT term FROM fz)""".stripMargin),
     // federated two-index search ≡ BM25 over the undivided corpus
     "ft_federated_search" -> bm25Sql(Seq("filter", "stream"), conjunctive = false),

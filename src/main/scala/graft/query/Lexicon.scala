@@ -120,6 +120,85 @@ object Lexicon {
     else Searcher.topKTermsSnap(spark, v, terms, k)
   }
 
+  // ---- regexp --------------------------------------------------------------
+
+  /** Translate an ES `regexp` pattern (RE2/Java-compatible subset, always
+    * anchored — Lucene regexp semantics) into (mandatory literal prefix,
+    * anchored verify regex). The prefix is the leading run of literal
+    * characters none of which carries a quantifier — every match of the
+    * anchored pattern must start with it, so it prunes the term-sorted
+    * dictionary scan exactly like [[wildcardPlan]]. A TOP-LEVEL alternation
+    * is refused loudly: `ab|cd` matches need not share the `ab` prefix, so
+    * prefix pruning would silently drop the `cd` arm — parenthesize
+    * (`s(p|t)…`) to keep a shared mandatory prefix.
+    */
+  private[graft] def regexpPlan(pattern: String): (String, String) = {
+    require(pattern.nonEmpty, "empty regexp pattern")
+    var depth = 0; var inClass = false; var i = 0
+    while (i < pattern.length) {
+      pattern(i) match {
+        case '\\' => i += 1 // escaped char: never opens/closes a group
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass => depth -= 1
+        case '|' if !inClass && depth == 0 =>
+          throw new IllegalArgumentException(
+            s"top-level alternation in regexp '$pattern' defeats prefix " +
+              "pruning — parenthesize the alternation so all arms share " +
+              "a literal prefix")
+        case _ =>
+      }
+      i += 1
+    }
+    val meta = ".?*+()[]{}|\\^$"
+    val sb = new StringBuilder
+    var j = 0; var stop = false
+    while (!stop && j < pattern.length && meta.indexOf(pattern(j)) < 0) {
+      // a literal followed by a quantifier is optional/repeatable — not a
+      // mandatory prefix char (`ab*c` matches "ac"); stop BEFORE it
+      if (j + 1 < pattern.length && "*?+{".indexOf(pattern(j + 1)) >= 0) stop = true
+      else { sb.append(pattern(j)); j += 1 }
+    }
+    (sb.toString, s"^(?:$pattern)$$")
+  }
+
+  /** Vocabulary terms matching the regexp — the ES `regexp` query rewrite:
+    * prefix-pruned dictionary scan (StringStartsWith pushes to the
+    * term-sorted row groups), anchored `rlike` (codegen'd) verifies
+    * survivors, df-ranked cap (`top_terms_N`). A pattern with NO mandatory
+    * literal prefix is refused loudly — same grounds as leading wildcards:
+    * it forces a full dictionary scan, and at 100 TB the right structure
+    * for those is a reversed/trigram term dictionary, not a silent scan.
+    */
+  def regexpTermsSnap(spark: SparkSession, v: Snapshot, pattern: String,
+                      maxExpansions: Int = 50): Seq[String] = {
+    val (prefix, re) = regexpPlan(pattern)
+    require(prefix.nonEmpty,
+      s"regexp '$pattern' has no mandatory literal prefix — it would scan " +
+        "the whole dictionary; lead with literal characters")
+    import spark.implicits._
+    v.termstatsAll(spark).toDF()
+      .filter(col("term").startsWith(prefix) && col("term").rlike(re))
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(maxExpansions)
+      .select("term").as[String].collect().toSeq.sorted
+  }
+
+  /** Regexp BM25 search — the expansion set scores as one disjunctive
+    * query: same scorer as wildcard/fuzzy, different dictionary rewrite.
+    */
+  def regexpSearch(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+                   pattern: String, k: Int,
+                   maxExpansions: Int = 50): Dataset[Hit] = {
+    import spark.implicits._
+    val v = h.snapshot
+    val terms = regexpTermsSnap(spark, v, pattern, maxExpansions)
+    if (terms.isEmpty) spark.emptyDataset[Hit]
+    else Searcher.topKTermsSnap(spark, v, terms, k)
+  }
+
   // ---- SymSpell fuzzy dictionary -------------------------------------------
 
   /** All strings obtainable from `s` by deleting at most `maxDist`

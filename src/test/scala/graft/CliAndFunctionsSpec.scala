@@ -119,6 +119,11 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("wildcard", idx, "5", "*ream"))
     }
+    Cli.run(spark, Seq("regexp", idx, "5", "s(p|t)[a-z]*"))
+    // prefix-free regexp = unpruned dictionary scan — refused loudly
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("regexp", idx, "5", ".*eam"))
+    }
     Cli.run(spark, Seq("suggest", idx, "s", "--k", "5"))
     Cli.run(spark, Seq("mlt", idx, "/root/testdata/sf0.001/documents.parquet", "3"))
     // missing doc_id fails loudly, not with a bare head() crash

@@ -142,6 +142,53 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     assert(Lexicon.wildcardSearch(spark, h, "zz*", 10).collect().isEmpty)
   }
 
+  test("regexp: prefix plan, expansion ≡ brute anchored regex over vocab, unsound patterns refused") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    // mandatory-prefix extraction: quantified literals are NOT mandatory,
+    // metachars end the prefix, escapes/classes don't open groups
+    assert(Lexicon.regexpPlan("stream")._1 == "stream")
+    assert(Lexicon.regexpPlan("s(p|t)[a-z]*")._1 == "s")
+    assert(Lexicon.regexpPlan("ab*c")._1 == "a") // `ab*c` matches "ac"
+    assert(Lexicon.regexpPlan("ab?c")._1 == "a")
+    assert(Lexicon.regexpPlan("ab{0,2}c")._1 == "a")
+    assert(Lexicon.regexpPlan("fil.er")._1 == "fil")
+    assert(Lexicon.regexpPlan("a[bc]d")._1 == "a")
+    // top-level alternation: arms need not share the prefix — refused
+    intercept[IllegalArgumentException] { Lexicon.regexpPlan("spark|merge") }
+    // parenthesized alternation is fine; class-embedded | is literal
+    Lexicon.regexpPlan("s(park|tream)")
+    val dict = vocab()
+    for (pat <- Seq("s(p|t)[a-z]*", "st.*", "fil.er", "s(park|tream)", "merge")) {
+      val want = dict.map(_._1)
+        .filter(t => java.util.regex.Pattern.matches(s"(?:$pat)", t)).toSeq.sorted
+      assert(Lexicon.regexpTermsSnap(spark, v, pat, 10000) == want,
+        s"pattern $pat")
+    }
+    // no mandatory literal prefix = full dictionary scan — refused
+    intercept[IllegalArgumentException] {
+      Lexicon.regexpTermsSnap(spark, v, "[st]am")
+    }
+    intercept[IllegalArgumentException] {
+      Lexicon.regexpTermsSnap(spark, v, ".*eam")
+    }
+    // search ≡ disjunctive BM25 over the hand-expanded set, bit-exact
+    val xp = Lexicon.regexpTermsSnap(spark, v, "s(p|t)[a-z]*")
+    assert(xp.nonEmpty)
+    val got = Lexicon.regexpSearch(spark, h, "s(p|t)[a-z]*", 10).collect()
+    val want = Searcher.topKTermsSnap(spark, v, xp, 10).collect()
+    assert(got.map(x => (x.docId, x.score)).toSeq ==
+      want.map(x => (x.docId, x.score)).toSeq)
+    // cap orders by (df desc, term asc) — same contract as wildcard/fuzzy
+    val byDf = dict.filter(t => t._1.matches("s(p|t)[a-z]*"))
+      .sortBy { case (t, df) => (-df, t) }
+    if (byDf.length > 1)
+      assert(Lexicon.regexpTermsSnap(spark, v, "s(p|t)[a-z]*", maxExpansions = 1) ==
+        byDf.take(1).map(_._1).toSeq)
+    // a pattern matching nothing searches to empty, loudly not wrongly
+    assert(Lexicon.regexpSearch(spark, h, "zz.*", 10).collect().isEmpty)
+  }
+
   test("prefix suggest matches dictionary df and orders (df desc, term asc)") {
     val h = Engine.indexFor(spark, sfDir)
     val got = Lexicon.suggest(spark, h, "s", 10)
