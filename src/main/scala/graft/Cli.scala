@@ -27,6 +27,7 @@ import graft.streaming.StreamingIngest
   *   graft.Cli explain <indexDir> <docId> <query terms...>  (score breakdown)
   *   graft.Cli wildcard <indexDir> <k> <pattern>   (dictionary-rewrite search)
   *   graft.Cli regexp <indexDir> <k> <pattern>     (anchored-regex rewrite search)
+  *   graft.Cli percolate <queriesParquet> <docsParquet>  (stored queries vs incoming docs)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
   *
   * `export` accepts either a directory containing `documents.parquet`
@@ -403,6 +404,25 @@ object Cli {
           Engine.quantized(org.apache.spark.sql.functions.col("score")).as("score_q"))
         .collect()
         .foreach(r => println(f"${r.getLong(0)}%12d  score_q=${r.getLong(1)}%d"))
+
+    case "percolate" :: queriesParquet :: docsParquet :: Nil =>
+      // ES percolator: saved searches vs incoming docs — index-free, so it
+      // runs against any docs parquet (a micro-batch, a corpus slice)
+      val queries = spark.read.parquet(queriesParquet)
+      val needQ = Set("query_id", "terms", "min_match")
+      require(needQ.subsetOf(queries.columns.toSet),
+        s"queries parquet needs columns ${needQ.mkString(", ")} — got " +
+          queries.columns.mkString(", "))
+      val docs = spark.read.parquet(docsParquet)
+      require(Set("doc_id", "text").subsetOf(docs.columns.toSet),
+        s"docs parquet needs columns doc_id, text — got " +
+          docs.columns.mkString(", "))
+      val pairs = graft.ops.Percolator.percolate(spark, queries, docs)
+        .orderBy(org.apache.spark.sql.functions.col("query_id"),
+          org.apache.spark.sql.functions.col("doc_id"))
+        .collect()
+      pairs.foreach(r => println(f"${r.getString(0)}%-24s ${r.getLong(1)}%12d"))
+      println(s"${pairs.length} matched (query, doc) pair(s)")
 
     case "regexp" :: indexDir :: k :: pattern :: Nil =>
       // ES regexp query: anchored-pattern dictionary rewrite (mandatory-

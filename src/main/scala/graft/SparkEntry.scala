@@ -481,6 +481,37 @@ object SparkEntry {
         graft.query.Lexicon.fuzzySearch(s, h, "spork strean", Int.MaxValue,
           maxDist = 1, maxExpansions = 1000).toDF())
     },
+    // query-time synonyms (ES match + synonym filter, OR-rewrite): each
+    // token's group = token + synonym list; disjunctive union scoring
+    "ft_synonym_search" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Lexicon.synonymSearch(s, h, "spark merge",
+          Map("spark" -> Seq("stream")), Int.MaxValue).toDF())
+    },
+    // synonyms with operator AND (grouped bool-must): membership =
+    // (spark OR stream) AND merge, scores over ALL matched expansions
+    "ft_synonym_search_and" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Engine.hitsAsDocIds(s, h,
+        graft.query.Lexicon.synonymSearch(s, h, "spark merge",
+          Map("spark" -> Seq("stream")), Int.MaxValue,
+          conjunctive = true).toDF())
+    },
+    // ES percolator: stored queries (all / any / m-of-n / unmatchable
+    // shapes) match incoming docs — the corpus plays the incoming stream
+    "ft_percolate" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        ("q_all", Seq("spark", "merge"), 2),
+        ("q_any", Seq("stream", "filter"), 1),
+        ("q_mofn", Seq("spark", "window", "scan", "sort"), 2),
+        ("q_nohit", Seq("spark", "zzz"), 2)
+      ).toDF("query_id", "terms", "min_match")
+      graft.ops.Percolator
+        .percolate(s, queries, s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
     // more-like-this (ES more_like_this): the source doc's top-5 terms by
     // QUANTIZED tf·idf (ties by term asc — reproducible across engines)
     // become a disjunctive BM25 query; the source doc itself is excluded
@@ -805,6 +836,36 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM t2
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // synonyms OR-rewrite: expansion set {merge, spark, stream}, each term
+    // scoring with its own stats — identical shape to a 3-term query
+    "ft_synonym_search" ->
+      bm25Sql(Seq("merge", "spark", "stream"), conjunctive = false),
+    // synonyms with operator AND: grouped membership — (spark OR stream)
+    // AND merge — scored over all three expansions
+    "ft_synonym_search_and" -> bm25ExpandedSql(
+      """fz AS (SELECT DISTINCT term FROM dft
+        |       WHERE term IN ('merge', 'spark', 'stream')),
+        |xp AS (SELECT term FROM fz)""".stripMargin,
+      scoreWhere =
+        "tft.doc_id IN (SELECT doc_id FROM t2 WHERE term IN ('spark', 'stream'))" +
+          " AND tft.doc_id IN (SELECT doc_id FROM t2 WHERE term = 'merge')"),
+    // percolator: distinct-term overlap count per (stored query, doc)
+    // against each query's min_match threshold
+    "ft_percolate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |  FROM documents
+         |), t2 AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+         |q(query_id, term, min_match) AS (VALUES
+         |  ('q_all', 'spark', 2), ('q_all', 'merge', 2),
+         |  ('q_any', 'stream', 1), ('q_any', 'filter', 1),
+         |  ('q_mofn', 'spark', 2), ('q_mofn', 'window', 2),
+         |  ('q_mofn', 'scan', 2), ('q_mofn', 'sort', 2),
+         |  ('q_nohit', 'spark', 2), ('q_nohit', 'zzz', 2)),
+         |m AS (SELECT q.query_id, t2.doc_id, count(*) AS c, min(q.min_match) AS mm
+         |      FROM t2 JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT query_id, doc_id FROM m WHERE c >= mm
+         |ORDER BY query_id, doc_id""".stripMargin,
     // fuzzy: the UNCAPPED SQL expansion — every vocab term within
     // levenshtein 1 of either probe token (the engine's max_expansions cap
     // provably never binds on this corpus)

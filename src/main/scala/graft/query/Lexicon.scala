@@ -333,19 +333,36 @@ object Lexicon {
                   query: String, k: Int, maxDist: Int = 1,
                   maxExpansions: Int = 50,
                   conjunctive: Boolean = false): Dataset[Hit] = {
-    import spark.implicits._
     val v = h.snapshot
     val toks = Analyzer.tokens(query, v.mode).toSeq.distinct
-    val groups = expandTerms(spark, v, toks, maxDist, maxExpansions)
+    val expanded = expandTerms(spark, v, toks, maxDist, maxExpansions)
+    // key EVERY original token — a token with zero expansions must make a
+    // conjunctive query unsatisfiable, not silently drop out of the groups
+    val groups = toks.map(t => t -> expanded.getOrElse(t, Seq.empty)).toMap
+    groupedSearch(spark, v, groups, k, conjunctive)
+  }
+
+  /** Shared composition for every expansion-group query (fuzzy, synonyms):
+    * the union of all groups' terms scores as ONE disjunctive BM25 pass;
+    * `conjunctive` restricts membership to docs matching ≥1 term of EVERY
+    * group (grouped bool-must — a flat conjunction over the union would
+    * wrongly demand every expansion of every token). A group with zero
+    * terms makes a conjunctive query unsatisfiable → empty.
+    */
+  private[graft] def groupedSearch(spark: SparkSession, v: Snapshot,
+                                   groups: Map[String, Seq[String]], k: Int,
+                                   conjunctive: Boolean): Dataset[Hit] = {
+    import spark.implicits._
     val expanded = groups.values.flatten.toSeq.distinct
     if (expanded.isEmpty) spark.emptyDataset[Hit]
     else if (!conjunctive) Searcher.topKTermsSnap(spark, v, expanded, k)
-    else if (toks.exists(t => groups.getOrElse(t, Seq.empty).isEmpty))
-      spark.emptyDataset[Hit]
+    else if (groups.values.exists(_.isEmpty)) spark.emptyDataset[Hit]
     else {
       val scored = Searcher.topKTermsSnap(spark, v, expanded, Int.MaxValue,
         ranked = false).toDF()
-      val covered = toks.foldLeft(scored) { (acc, t) =>
+      // deterministic semi-join order (sorted keys) — result-equivalent in
+      // any order, but keeps plans reproducible run to run
+      val covered = groups.keys.toSeq.sorted.foldLeft(scored) { (acc, t) =>
         acc.join(Searcher.docsWithAnySnap(spark, v, groups(t)),
           Seq("docId"), "left_semi")
       }
@@ -357,6 +374,37 @@ object Lexicon {
         graft.Engine.quantized(col("score")).desc, col("docId"))
       (if (k == Int.MaxValue) ranked else ranked.limit(k)).as[Hit]
     }
+  }
+
+  // ---- query-time synonyms -------------------------------------------------
+
+  /** Query-time synonym expansion — the ES `match` query under a
+    * query-side `synonym` filter, OR-rewrite semantics: each analyzed
+    * token's group is the token plus its synonym list, the union scores as
+    * one disjunctive BM25 pass, and `conjunctive` (operator AND) demands
+    * every ORIGINAL token match via its own group — the same grouped
+    * composition as fuzzy, with a user-supplied map instead of an
+    * edit-distance rewrite. DELIBERATE ANALOG, documented: Lucene's
+    * SynonymQuery blends statistics (df = max over the set, tf summed) so
+    * synonyms score as one pseudo-term; this engine keeps the one shared
+    * disjunctive scorer — each expansion contributes its own idf·impact —
+    * which is Lucene's own behavior for multi-term boolean rewrites and
+    * keeps every expansion surface (fuzzy/wildcard/regexp/synonyms)
+    * bit-consistent with each other and the SQL oracle.
+    *
+    * Synonyms are DIRECTIONAL (`spark -> [flink]` does not imply the
+    * reverse); pass both directions for symmetric vocabularies. Unknown
+    * synonym terms cost nothing: absent terms have no postings and a
+    * pruned df lookup each.
+    */
+  def synonymSearch(spark: SparkSession, h: graft.index.IndexBuilder.Handle,
+                    query: String, synonyms: Map[String, Seq[String]], k: Int,
+                    conjunctive: Boolean = false): Dataset[Hit] = {
+    val v = h.snapshot
+    val toks = Analyzer.tokens(query, v.mode).toSeq.distinct
+    val groups = toks.map(t =>
+      t -> (t +: synonyms.getOrElse(t, Seq.empty)).distinct).toMap
+    groupedSearch(spark, v, groups, k, conjunctive)
   }
 
   // ---- more-like-this -------------------------------------------------------

@@ -142,6 +142,42 @@ class LexiconSpec extends AnyFunSuite with SparkSuite {
     assert(Lexicon.wildcardSearch(spark, h, "zz*", 10).collect().isEmpty)
   }
 
+  test("synonym search: OR-rewrite ≡ expanded BM25 bit-exact; AND = grouped membership; directional no-ops") {
+    val h = Engine.indexFor(spark, sfDir)
+    val v = h.snapshot
+    val syn = Map("spark" -> Seq("stream"))
+    // disjunctive ≡ multi-term BM25 over the expansion union
+    val got = Lexicon.synonymSearch(spark, h, "spark merge", syn, Int.MaxValue)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq
+    val want = Searcher.topKTermsSnap(spark, v,
+        Seq("spark", "stream", "merge"), Int.MaxValue)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // operator AND: membership ground truth from the raw text —
+    // (spark OR stream) AND merge, scored over all matched expansions
+    val gotIds = Engine.hitsAsDocIds(spark, h,
+        Lexicon.synonymSearch(spark, h, "spark merge", syn, Int.MaxValue,
+          conjunctive = true).toDF(), ranked = false)
+      .collect().map(_.getLong(0)).toSet
+    val wantIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val t = graft.analyze.Analyzer.tokens(r.getString(1),
+          graft.analyze.Analyzer.Simple).toSet
+        if ((t("spark") || t("stream")) && t("merge")) Some(r.getLong(0)) else None
+      }.toSet
+    assert(gotIds == wantIds && gotIds.nonEmpty)
+    // directional: a synonym entry for a token NOT in the query is inert,
+    // and an out-of-vocabulary synonym contributes nothing (df=0)
+    val plain = Searcher.topK(spark, h, "merge", Int.MaxValue)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq
+    assert(Lexicon.synonymSearch(spark, h, "merge",
+      Map("window" -> Seq("spark")), Int.MaxValue)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq == plain)
+    assert(Lexicon.synonymSearch(spark, h, "merge",
+      Map("merge" -> Seq("zzzq")), Int.MaxValue)
+      .collect().map(x => (x.docId, x.score)).sorted.toSeq == plain)
+  }
+
   test("regexp: prefix plan, expansion ≡ brute anchored regex over vocab, unsound patterns refused") {
     val h = Engine.indexFor(spark, sfDir)
     val v = h.snapshot
