@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.index.CorpusDoc
 
 /** ES percolator (the `_percolate` API: reverse search — stored queries,
   * incoming documents) restated Spark-first. Queries are DATA:
@@ -57,4 +59,37 @@ object Percolator {
       .filter(col("matched") >= col("min_match"))
       .select(col("query_id"), col("doc_id"))
   }
+
+  /** One micro-batch of continuous percolation: the batch's matches land
+    * in their own `batch=<id>` partition written with OVERWRITE, so an
+    * at-least-once foreachBatch replay rewrites the identical partition
+    * instead of duplicating alerts. Factored out so crash-replay is
+    * directly testable.
+    */
+  def percolateBatch(spark: SparkSession, queries: DataFrame,
+                     batch: Dataset[CorpusDoc], batchId: Long,
+                     alertsDir: String): Unit = {
+    val docs = batch.toDF()
+      .select(col("path").as("doc_id"), col("content").as("text"))
+    percolate(spark, queries, docs)
+      .write.mode("overwrite").parquet(s"$alertsDir/batch=$batchId")
+  }
+
+  /** Continuous percolation — the alerting deployment: saved searches
+    * evaluated against every ingested micro-batch, matched
+    * `(query_id, doc_id)` pairs appended to a partitioned parquet alert
+    * log (`doc_id` = corpus path here — percolate is key-type-agnostic).
+    * Cost per batch is the batch's own tokenize map + broadcast joins
+    * against the small query set; nothing scales with what was already
+    * screened — the same shape as the ingest-time decontamination screen.
+    */
+  def percolateStream(spark: SparkSession, srcDir: String, queries: DataFrame,
+                      alertsDir: String, checkpointDir: String): StreamingQuery =
+    graft.streaming.StreamingIngest.source(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+        percolateBatch(spark, queries, batch, batchId, alertsDir)
+      }
+      .start()
 }

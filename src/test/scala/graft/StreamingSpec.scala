@@ -160,6 +160,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(h.segmentDirs.size == 1)
   }
 
+  test("continuous percolation: saved-search alerts per micro-batch, crash-replay idempotent") {
+    import spark.implicits._
+    val src = tmpDir("graft-perc-src")
+    val alerts = tmpDir("graft-perc-alerts")
+    val ckp = tmpDir("graft-perc-ckp")
+    val qs = Seq( // terms from the synth generator's vocabulary
+      ("q_all", Seq("import", "def"), 2),
+      ("q_any", Seq("parser", "lexer"), 1))
+    val queries = qs.toDF("query_id", "terms", "min_match")
+    val docs1 = (0 until 10).map(i => Corpus.synthDoc(i, 21L))
+    val docs2 = (10 until 20).map(i => Corpus.synthDoc(i, 22L))
+    writeBatch(src, docs1)
+    val q = graft.ops.Percolator.percolateStream(spark, src, queries, alerts, ckp)
+    q.processAllAvailable()
+    writeBatch(src, docs2)
+    q.processAllAvailable(); q.stop()
+    def readAlerts() = spark.read.parquet(alerts)
+      .select("query_id", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = readAlerts()
+    val want = (docs1 ++ docs2).flatMap { d =>
+      val toks = d.content.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      qs.collect { case (qid, ts, mm)
+        if ts.distinct.count(toks.contains) >= mm => (qid, d.path) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // crash-replay of a batch (at-least-once foreachBatch): the batch
+    // partition is overwritten identically, never duplicated
+    graft.ops.Percolator.percolateBatch(spark, queries, docs1.toDS(), 0L, alerts)
+    assert(readAlerts() == want)
+    assert(spark.read.parquet(alerts).count() == want.size)
+  }
+
   test("streamed segments are SEARCHABLE: union query == single index over the full corpus") {
     import spark.implicits._
     val all = (0 until 80).map(i => Corpus.synthDoc(i, 13L))
