@@ -461,6 +461,43 @@ object SparkEntry {
           .limit(10)
       }
     },
+    // ES _count: live docs matching the query — membership only, NO BM25
+    // evaluation (the cheapest request in the ES API: result-size probes,
+    // facet denominators). The OR form exercises the per-salt tally path;
+    // the m-of-n form the minMatch filter; the single-term zero-IO
+    // metadata fast path is spec-asserted (EngineSpec).
+    "ft_count" -> ((s, dir) =>
+      Searcher.countMatching(s, Engine.indexFor(s, dir), "spark merge")),
+    "ft_count_min2" -> ((s, dir) =>
+      Searcher.countMatching(s, Engine.indexFor(s, dir), "spark merge window",
+        minMatch = 2)),
+    // ES rescore: two-phase ranking — the broad OR match re-ranked by the
+    // phrase tier before the final cut (combined_q = 1·base_q + 2·phrase_q,
+    // integer weights in quantized space — the cross-engine-exact analog of
+    // ES query_weight/rescore_query_weight). Exhaustive window here so the
+    // k=10 cut is taken in (score_q, doc_id) space on both engines; the
+    // finite-window semantics (outside-window docs never re-enter) are
+    // spec-asserted (EngineSpec).
+    "ft_rescore" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      val v = h.snapshot
+      val mapping = v.docmetaAll(s).toDF().select(col("docId"),
+        element_at(split(col("path"), "/"), 2).cast("long").as("doc_id"))
+      val phrase = Searcher.topKSnap(s, v, "join order", Int.MaxValue,
+          conjunctive = true, ranked = false).toDF()
+        .join(mapping, "docId")
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")), "doc_id")
+        .filter(lower(col("text")).contains("join order"))
+        .select(col("docId"), col("score"))
+      Searcher.rescoreSnap(s, v, "spark merge", Int.MaxValue, Int.MaxValue,
+          queryWeightQ = 1L, rescoreWeightQ = 2L, conjunctive = false,
+          rescoreHits = phrase)
+        .join(mapping, "docId")
+        .select(col("doc_id"), col("score_q"))
+        .orderBy(desc("score_q"), col("doc_id"))
+        .limit(10)
+    },
     // prefix suggest (ES terms-prefix / completion analog): top-10
     // dictionary terms under the prefix by df — ONE pruned scan of the
     // term-sorted termstats table (StringStartsWith pushes down), ties by
@@ -572,6 +609,13 @@ object SparkEntry {
     // ES cardinality agg (exact form; the HLL++ sketch variant is
     // Aggs.cardinalityApprox, spec-tested within its rsd bound)
     "agg_cardinality" -> ((s, d) => Aggs.cardinality(s, d)),
+    // ES extended_stats (one-pass sums → population variance/std — exact
+    // doubles for integral inputs, so quantization is cross-engine-safe)
+    // and rare_terms (the long-tail complement of terms top-N: buckets
+    // with doc count ≤ 2, count-ascending — exact here, no CuckooFilter,
+    // because the full agg is distributed)
+    "agg_extended_stats" -> ((s, d) => Aggs.extendedStats(s, d)),
+    "agg_rare_terms" -> ((s, d) => Aggs.rareTerms(s, d)),
     // ES histogram agg (numeric interval) and top_hits-under-terms
     "agg_histogram" -> ((s, d) => Aggs.histogram(s, d)),
     "agg_top_hits" -> ((s, d) => Aggs.topHits(s, d)),
@@ -830,6 +874,36 @@ object SparkEntry {
          |WHERE s.score_q < c.score_q
          |   OR (s.score_q = c.score_q AND s.doc_id > c.doc_id)
          |ORDER BY s.score_q DESC, s.doc_id LIMIT 10""".stripMargin,
+    // _count: distinct docs containing ≥1 / ≥2 of the terms (membership
+    // only — the count must equal the scored surfaces' membership exactly)
+    "ft_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+        |SELECT count(*) AS n FROM (
+        |  SELECT doc_id FROM t2 WHERE term IN ('spark', 'merge') GROUP BY 1)""".stripMargin,
+    "ft_count_min2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+        |SELECT count(*) AS n FROM (
+        |  SELECT doc_id FROM t2 WHERE term IN ('spark', 'merge', 'window')
+        |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin,
+    // rescore: base OR scores, phrase-tier scores for contains-verified
+    // docs, combined with integer weights in quantized space; final cut in
+    // (score_q, doc_id) order on both engines
+    "ft_rescore" ->
+      s"""WITH base AS (${bm25Sql(Seq("merge", "spark"), conjunctive = false)}),
+         |ph AS (${bm25Sql(Seq("join", "order"), conjunctive = true)}),
+         |phv AS (SELECT p.doc_id, p.score_q FROM ph p
+         |        JOIN documents d USING (doc_id)
+         |        WHERE lower(d.text) LIKE '%join order%')
+         |SELECT b.doc_id AS doc_id,
+         |       b.score_q * 1 + coalesce(p.score_q, 0) * 2 AS score_q
+         |FROM base b LEFT JOIN phv p USING (doc_id)
+         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     // prefix suggest: dictionary df under the prefix, ties by term asc
     "ft_prefix_suggest" ->
       s"""WITH $toksCte
@@ -1050,6 +1124,22 @@ object SparkEntry {
          |       ${q4("sum(l_quantity)")} AS sum_q,
          |       ${q4("avg(l_quantity)")} AS avg_q
          |FROM lineitem""".stripMargin,
+    "agg_extended_stats" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, count(*)::DOUBLE AS n, sum(l_quantity) AS s,
+         |         sum(l_quantity * l_quantity) AS ss,
+         |         min(l_quantity) AS mn, max(l_quantity) AS mx
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |       ${q4("s")} AS sum_q, ${q4("ss")} AS sumsq_q,
+         |       ${q4("s / n")} AS avg_q,
+         |       ${q4("(ss - s * s / n) / n")} AS var_q,
+         |       ${q4("sqrt((ss - s * s / n) / n)")} AS std_q,
+         |       CAST(mn AS BIGINT) AS min_q, CAST(mx AS BIGINT) AS max_q
+         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_rare_terms" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY 1 HAVING count(*) <= 2 ORDER BY n, o_custkey""".stripMargin,
     "agg_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,

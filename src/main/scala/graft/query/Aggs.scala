@@ -131,6 +131,53 @@ object Aggs {
       .filter(col("l_orderkey").between(1000, 2000))
       .agg(count(lit(1)).as("n"))
 
+  /** ES `extended_stats` agg (E1's big sibling: stats + sum-of-squares,
+    * variance, std-deviation). Variance is derived POPULATION-style (the ES
+    * default) from one-pass sums — var = (Σx² − (Σx)²/n)/n — never a second
+    * pass: one partial-aggregated hash exchange carrying (n, Σx, Σx²) per
+    * group, constant state per group at any scale. Cross-engine exactness:
+    * for integral x (l_quantity ∈ 1..50) n, Σx and Σx² are all
+    * exactly-representable doubles, so summation ORDER cannot perturb them,
+    * and both engines then evaluate the identical expression tree on
+    * identical inputs — the derived doubles match bit-for-bit before
+    * quantization.
+    */
+  def extendedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val varExpr = (col("ss") - col("s") * col("s") / col("n")) / col("n")
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity")).as("s"),
+        sum(col("l_quantity") * col("l_quantity")).as("ss"),
+        min(col("l_quantity")).cast("long").as("min_q"),
+        max(col("l_quantity")).cast("long").as("max_q"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        quantized(col("s")).as("sum_q"),
+        quantized(col("ss")).as("sumsq_q"),
+        quantized(col("s") / col("n")).as("avg_q"),
+        quantized(varExpr).as("var_q"),
+        quantized(sqrt(varExpr)).as("std_q"),
+        col("min_q"), col("max_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ES `rare_terms` agg — the long-tail complement of F6's `terms` top-N:
+    * buckets whose doc count is ≤ `maxDocCount`, ordered count ASC (the ES
+    * bucket order; key breaks ties). ES needs a CuckooFilter-backed
+    * streaming set for this because its per-shard top-N terms agg
+    * structurally cannot see the tail; in Spark the tail is just the other
+    * side of the SAME one partial-aggregated hash exchange (map-side combine
+    * bounds the shuffle at distinct-keys volume) + a post-agg filter — exact,
+    * no sketch, no false positives, no second pass.
+    */
+  def rareTerms(spark: SparkSession, sfDir: String, maxDocCount: Long = 2L): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxDocCount)
+      .orderBy(col("n"), col("o_custkey"))
+
   /** ES `percentiles` agg, EXACT-RANK semantics: the value at 0-indexed rank
     * floor((n-1)·p) of each group's ascending ordering — a discrete
     * quantile with integer-exact rank arithmetic, reproducible bit-for-bit

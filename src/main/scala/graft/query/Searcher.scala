@@ -679,6 +679,147 @@ object Searcher {
       .limit(k)
   }
 
+  /** ES `_count` — the number of LIVE documents matching the query, with NO
+    * scoring and NO ranking (ES runs the Lucene collector in count mode;
+    * `_count` is the cheapest request in the API and real clients issue it
+    * constantly — result-size probes, facet denominators, "did anything
+    * match" guards). Semantics mirror [[topKSnap]] membership exactly:
+    * OR / AND (`conjunctive`) / m-of-n (`minMatch`), tombstoned docs
+    * excluded — so `count ≡ topK(k=∞).count` by construction (EngineSpec
+    * asserts it), but the execution never computes a BM25 score.
+    *
+    * Scale shape, fastest to slowest:
+    *  - single live term, no tombstones: df from the cached termstats memo —
+    *    ZERO posting IO, zero jobs when warm (the index invariant
+    *    df ≡ Σ block n makes the metadata answer exact);
+    *  - coordinator path: the same bounded block probe as topK, counted on
+    *    the driver — one pruned-scan job;
+    *  - distributed: pruned postings scan → per-salt membership count inside
+    *    `mapGroups` (salts are disjoint docId ranges, so per-salt counts SUM
+    *    — no distinct, no shuffle beyond the query terms' blocks) → one
+    *    long per salt to a 1-row agg.
+    */
+  def countMatching(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                    conjunctive: Boolean = false, minMatch: Int = 1,
+                    driverPathMaxPostings: Long = DriverPathMaxPostings): DataFrame =
+    countMatchingSnap(spark, h.snapshot, query, conjunctive, minMatch,
+      driverPathMaxPostings)
+
+  def countMatchingSnap(spark: SparkSession, v: Snapshot, query: String,
+                        conjunctive: Boolean = false, minMatch: Int = 1,
+                        driverPathMaxPostings: Long = DriverPathMaxPostings): DataFrame = {
+    import spark.implicits._
+    require(minMatch >= 1, s"minMatch must be ≥ 1, got $minMatch")
+    val terms = Analyzer.tokens(query, v.mode).toSeq.distinct.sorted
+    val minM = if (conjunctive) terms.length else minMatch
+    def result(n: Long): DataFrame = Seq(n).toDF("n")
+    if (terms.isEmpty || minM > terms.length) return result(0L)
+    val dead = tombstones(spark, v)
+    // metadata fast path: one term's live count IS its df (one posting row
+    // per doc per term — EngineSpec's df ≡ Σ block n invariant); valid only
+    // with no delete set, since df counts tombstoned docs until a compact
+    if (terms.length == 1 && minM == 1 && dead.isEmpty)
+      return result(dfForCached(spark, v, terms).getOrElse(terms.head, 0L))
+    val maxBlocks = math.max(64L,
+      driverPathMaxPostings / graft.index.Codec.BlockSize).toInt
+    val probed =
+      if (driverPathMaxPostings <= 0L) None
+      else blocksProbe(spark, v, terms, maxBlocks, driverPathMaxPostings)
+    probed match {
+      case Some(blocks) =>
+        result(countAtLeast(blocks, minM, liveDocOf(dead)))
+      case None =>
+        val bDead = tombstonesBc(spark, v, dead)
+        val minMf = minM
+        v.postingsAll(spark)
+          .filter($"term".isin(terms: _*))
+          .groupByKey(_.salt)
+          .mapGroups { (_, it) =>
+            countAtLeast(it.toSeq, minMf, liveDocOf(bDead.value))
+          }
+          .toDF("c")
+          .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n"))
+    }
+  }
+
+  /** Live docs present in ≥ `minMatch` of the query terms' posting lists.
+    * A doc appears at most once per term (posting lists are docId-unique)
+    * and terms are pre-deduped, so the per-doc tally over ALL blocks equals
+    * its matched-distinct-term count — no per-term grouping needed.
+    */
+  private def countAtLeast(blocks: Iterable[PostingBlock], minMatch: Int,
+                           liveDoc: Long => Boolean): Long = {
+    var total = 0L
+    blocks.groupBy(_.salt).foreach { case (_, bs) =>
+      val tally = scala.collection.mutable.LongMap.empty[Int]
+      bs.foreach { b =>
+        val ids = graft.index.Codec.decodeDeltas(b.docDeltas, b.n, b.firstDocId)
+        var i = 0
+        while (i < ids.length) {
+          tally.update(ids(i), tally.getOrElse(ids(i), 0) + 1); i += 1
+        }
+      }
+      tally.foreach { case (d, m) => if (m >= minMatch && liveDoc(d)) total += 1 }
+    }
+    total
+  }
+
+  /** ES `rescore` — re-rank the top `window` hits of the base query by a
+    * secondary query before the final cut (the standard two-phase ranking:
+    * a cheap broad match feeds an expensive precise one — phrase proximity,
+    * mlt, a feature score — applied to window docs ONLY, never the corpus).
+    * `rescoreHits` is any (docId, score) frame computed against the SAME
+    * snapshot (phrase tier, a second topKTermsSnap, an external feature
+    * join); callers with an expensive rescorer should restrict it to the
+    * window via `allowDocs` so the secondary pass scores window docs inside
+    * its collectors.
+    *
+    * combined = qWeightQ·score_q(base) + rWeightQ·score_q(rescore, 0 if
+    * absent), in QUANTIZED space with INTEGER weights — deliberate analog:
+    * ES combines raw floats (query_weight/rescore_query_weight), but every
+    * ranked surface here orders by (score_q, docId) so page cuts are
+    * cross-engine-reproducible, and integer-weighted sums of longs keep
+    * that contract exact (no new float summation to drift).
+    *
+    * Docs outside the window never re-enter (ES contract), so `k ≤ window`
+    * is required — ES itself pages strictly within window_size.
+    *
+    * Scale shape: the base pass is a normal k-bounded topK (TakeOrdered, no
+    * global sort); the combine is a left join whose LEFT side is ≤ window
+    * rows (AQE broadcasts it) + TakeOrderedAndProject(k).
+    */
+  def rescoreSnap(spark: SparkSession, v: Snapshot, query: String,
+                  window: Int, k: Int, queryWeightQ: Long = 1L,
+                  rescoreWeightQ: Long = 1L, conjunctive: Boolean = false,
+                  rescoreHits: DataFrame): DataFrame = {
+    require(window > 0 && k <= window,
+      s"k=$k exceeds rescore window=$window — ES pages within the window")
+    require(queryWeightQ >= 0L && rescoreWeightQ >= 0L,
+      "rescore weights must be non-negative")
+    val win = topKSnap(spark, v, query, window, conjunctive, ranked = false)
+      .toDF()
+      .select(col("docId"), graft.Engine.quantized(col("score")).as("orig_q"))
+    val resc = rescoreHits
+      .select(col("docId"), graft.Engine.quantized(col("score")).as("resc_q"))
+    val combined = win.join(resc, Seq("docId"), "left")
+      .select(col("docId"),
+        (col("orig_q") * lit(queryWeightQ) +
+          coalesce(col("resc_q"), lit(0L)) * lit(rescoreWeightQ)).as("score_q"))
+    // exhaustive k = no cut: skip the global sort, the consumer orders
+    // (the searchAgg/ranked=false convention)
+    if (k == Int.MaxValue) combined
+    else combined.orderBy(desc("score_q"), col("docId")).limit(k)
+  }
+
+  def rescore(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+              window: Int, k: Int, queryWeightQ: Long = 1L,
+              rescoreWeightQ: Long = 1L, conjunctive: Boolean = false)(
+              rescoreHits: Snapshot => DataFrame): DataFrame = {
+    val v = h.snapshot
+    rescoreSnap(spark, v, query, window, k, queryWeightQ, rescoreWeightQ,
+      conjunctive, rescoreHits(v))
+  }
+
   /** docIds containing ANY of `terms` (one pruned postings scan, no
     * ordering, no liveness filter) — the membership side of grouped
     * boolean queries: callers semi-join it against an already

@@ -281,6 +281,15 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     // exact term lookup excludes dead docs too
     val lk = Searcher.termLookup(spark, h, "the").collect().map(_.getLong(0)).toSet
     assert(lk.intersect(deadIds).isEmpty && lk.nonEmpty)
+    // _count excludes dead docs on BOTH paths — and the single-term form
+    // must NOT take the df metadata shortcut while a delete set is live
+    // (df counts tombstoned docs until a compact purges them)
+    assert(Searcher.countMatching(spark, h, "the import")
+      .collect().head.getLong(0) == post.size.toLong)
+    assert(Searcher.countMatching(spark, h, "the import",
+      driverPathMaxPostings = 0L).collect().head.getLong(0) == post.size.toLong)
+    assert(Searcher.countMatching(spark, h, "the")
+      .collect().head.getLong(0) == lk.size.toLong)
   }
 
   test("compact after tombstoning == fresh build over the surviving corpus (bit-identical)") {

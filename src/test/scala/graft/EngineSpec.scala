@@ -472,6 +472,70 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       .collect().isEmpty)
   }
 
+  test("_count ≡ exhaustive topK membership across OR/AND/m-of-n, both paths") {
+    for ((q, conj, mm) <- Seq(
+        ("read parquet", false, 1), ("read parquet", true, 1),
+        ("the import def", false, 2), ("zzz_rare_token", false, 1))) {
+      val want = Searcher.topK(spark, handle, q, Int.MaxValue, conj,
+        minMatch = mm).count()
+      val fast = Searcher.countMatching(spark, handle, q, conj, mm)
+        .collect().head.getLong(0)
+      val dist = Searcher.countMatching(spark, handle, q, conj, mm,
+        driverPathMaxPostings = 0L).collect().head.getLong(0)
+      assert(fast == want && dist == want,
+        s"[$q conj=$conj mm=$mm] fast=$fast dist=$dist want=$want")
+    }
+    // single live term: the metadata fast path answers from the cached df
+    // (zero posting IO) and must equal brute membership
+    val one = Searcher.countMatching(spark, handle, "sparkSession")
+      .collect().head.getLong(0)
+    assert(one == Searcher.topK(spark, handle, "sparkSession", Int.MaxValue).count())
+    // absent term and unsatisfiable m-of-n count zero
+    assert(Searcher.countMatching(spark, handle, "zzzabsent_xyz")
+      .collect().head.getLong(0) == 0L)
+    assert(Searcher.countMatching(spark, handle, "sparkSession", minMatch = 5)
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("rescore: integer-weighted quantized combine, window confinement, k ≤ window") {
+    val v = handle.snapshot
+    val q = "the import def"
+    val resc = Searcher.topKSnap(spark, v, "sparkSession", Int.MaxValue,
+      ranked = false).toDF()
+    val window = 5
+    val got = Searcher.rescoreSnap(spark, v, q, window, 3,
+        queryWeightQ = 2L, rescoreWeightQ = 3L, conjunctive = false,
+        rescoreHits = resc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hand-compute over the engine's own top-window list (same cut)
+    val base = Searcher.topKSnap(spark, v, q, window).collect()
+    assert(base.length == window)
+    val rmap = resc.collect()
+      .map(r => r.getLong(0) -> Searcher.quantize(r.getDouble(1))).toMap
+    val expect = base.map(h => (h.docId,
+        2L * Searcher.quantize(h.score) + 3L * rmap.getOrElse(h.docId, 0L)))
+      .sortBy { case (d, sq) => (-sq, d) }.take(3).toSeq
+    assert(got.toSeq == expect, s"got ${got.toSeq} want $expect")
+    // docs outside the base top-window never re-enter, however well they
+    // score on the rescore query (the ES window contract)
+    val winIds = base.map(_.docId).toSet
+    assert(got.forall { case (d, _) => winIds.contains(d) })
+    assert(rmap.keys.exists(d => !winIds.contains(d)),
+      "fixture vacuous: rescore query must hit docs outside the window")
+    // zero rescore weight degenerates to the base ranking (scaled)
+    val plain = Searcher.rescoreSnap(spark, v, q, window, window,
+        queryWeightQ = 1L, rescoreWeightQ = 0L, conjunctive = false,
+        rescoreHits = resc)
+      .collect().map(_.getLong(0)).toSeq
+    // compare in quantized order (rescore's tie-break space)
+    val expectPlain = base.map(h => (h.docId, Searcher.quantize(h.score)))
+      .sortBy { case (d, sq) => (-sq, d) }.map(_._1).toSeq
+    assert(plain == expectPlain)
+    intercept[IllegalArgumentException] {
+      Searcher.rescoreSnap(spark, v, q, 3, 5, 1L, 1L, false, resc)
+    }
+  }
+
   test("docIds dense, unique, zero-based") {
     import spark.implicits._
     val ids = handle.docmeta(spark).map(_.docId).collect().sorted
