@@ -29,6 +29,9 @@ import graft.streaming.StreamingIngest
   *   graft.Cli regexp <indexDir> <k> <pattern>     (anchored-regex rewrite search)
   *   graft.Cli percolate <queriesParquet> <docsParquet>  (stored queries vs incoming docs)
   *   graft.Cli mlt <indexDir> <docsParquet> <doc_id> [--terms N] [--k K]
+  *   graft.Cli snapshot <indexDir> <destDir>   (pinned-state backup, sha256 manifest)
+  *   graft.Cli restore <snapDir> <destDir>     (manifest-verified restore)
+  *   graft.Cli verify-snapshot <snapDir>       (re-hash in place)
   *
   * `export` accepts either a directory containing `documents.parquet`
   * (the driver stand-in, mapped per FIXTURES.md §2) or a parquet table
@@ -254,6 +257,24 @@ object Cli {
       lin.foreach { case (s, r, mn, mx, b, p) =>
         println(f"$s%-10s $r%12d $mn%12d $mx%12d $b%12d $p%5d")
       }
+
+    // snapshot / restore / verify-snapshot — the ES `_snapshot` API analog
+    // (index backup + migration): one pinned catalog state copied with
+    // per-file sha256 under the maintenance lock; a completed snapshot dir
+    // is itself an openable index (Snapshotter scaladoc)
+    case "snapshot" :: indexDir :: destDir :: Nil =>
+      val n = graft.index.Snapshotter.snapshot(spark, indexDir, destDir)
+      println(s"snapshot complete: $n file(s) -> $destDir")
+
+    case "restore" :: snapDir :: destDir :: Nil =>
+      val n = graft.index.Snapshotter.restore(spark, snapDir, destDir)
+      println(s"restore complete: $n file(s) verified -> $destDir")
+
+    case "verify-snapshot" :: snapDir :: Nil =>
+      val bad = graft.index.Snapshotter.verify(spark, snapDir)
+      if (bad.isEmpty) println("snapshot intact")
+      else sys.error(s"snapshot CORRUPT: ${bad.size} file(s) failed " +
+        s"verification: ${bad.take(10).mkString(", ")}")
 
     case "decontaminate-emb" :: corpusDir :: refDir :: rest =>
       // the SEMANTIC decontamination tier over embeddings tables;
@@ -547,6 +568,8 @@ object Cli {
            |       decontaminate-emb <corpusDir> <refDir> [--threshold t] [--tombstone <ivfDir>] |
            |       search <dir> <k> <terms...> [--and] [--fuzzy] [--min-match n]
            |              [--after scoreQ:docId] |
-           |       suggest <dir> <prefix> [--k n] | mlt <dir> <docsParquet> <doc_id>""".stripMargin)
+           |       suggest <dir> <prefix> [--k n] | mlt <dir> <docsParquet> <doc_id> |
+           |       snapshot <dir> <destDir> | restore <snapDir> <destDir> |
+           |       verify-snapshot <snapDir>""".stripMargin)
   }
 }

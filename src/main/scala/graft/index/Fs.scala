@@ -69,6 +69,22 @@ object Fs {
     else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted.toSeq
   }
 
+  /** ALL descendant files of `path` (recursive), sorted — fully-qualified
+    * path strings. Driver-side only, like every Fs call: used by the
+    * snapshot protocol to enumerate an index's pinned file set (one
+    * recursive listing per snapshot, not per query).
+    */
+  def listFilesRecursive(path: String): Seq[String] = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val buf = Seq.newBuilder[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) buf += it.next().getPath.toString
+      buf.result().sorted
+    }
+  }
+
   /** Child directories of `path` (non-recursive), sorted by name. Returns
     * fully-qualified path strings (scheme included on non-local FS) — safe
     * to hand to `spark.read.parquet`.
