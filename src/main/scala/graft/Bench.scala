@@ -267,6 +267,31 @@ object Bench {
         results += "bm25_federated" -> fed
       }
 
+      // _count (r5): membership-only count. Two-term = the per-salt tally
+      // over cached blocks; single-term = the metadata fast path (df from
+      // the termstats memo — ZERO posting IO, the claim being that a warm
+      // _count is orders cheaper than the scored query it replaces)
+      {
+        Searcher.countMatching(spark, h, "merge window").collect() // warm
+        val (_, cnt2) = timed(
+          Searcher.countMatching(spark, h, "merge window").collect())
+        results += "count_two_term" -> cnt2
+        Searcher.countMatching(spark, h, "merge").collect() // warm
+        val (_, cnt1) = timed(
+          Searcher.countMatching(spark, h, "merge").collect())
+        results += "count_single_term" -> cnt1
+        // rescore (r5): window-100 base re-ranked by a second query — the
+        // claim is ~the cost of two k-bounded queries, never a corpus pass
+        val v = h.snapshot
+        def resc() = Searcher.rescoreSnap(spark, v, "merge window", 100, 10,
+          1L, 2L, conjunctive = false,
+          rescoreHits = Searcher.topKSnap(spark, v, "stream", Int.MaxValue,
+            ranked = false).toDF()).collect()
+        resc() // warm
+        val (_, rsc) = timed(resc())
+        results += "bm25_rescore" -> rsc
+      }
+
       // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
       // the adaptive coordinator path masks it at this scale, so measure it
       // explicitly — this is the plan that runs on a hot term at 100 TB
@@ -303,6 +328,22 @@ object Bench {
         q() // warm (fingerprint: folded epoch)
         val (_, seg0) = timed(q())
         results += "bm25_compacted" -> seg0
+      }
+
+      // snapshot / restore (r5): pinned-state backup of the sf index — the
+      // distributed sha256 streaming copy under the maintenance lock, then
+      // a restore that re-verifies every byte (both scale with index bytes
+      // ÷ executors, never through the driver)
+      {
+        val snapDir = s"${sys.props("java.io.tmpdir")}/graft-bench-snap"
+        val restDir = s"${sys.props("java.io.tmpdir")}/graft-bench-restore"
+        rmrf(snapDir); rmrf(restDir)
+        val (_, snapSecs) = timed(
+          graft.index.Snapshotter.snapshot(spark, h.dir, snapDir))
+        results += "snapshot_sf" -> snapSecs
+        val (_, restSecs) = timed(
+          graft.index.Snapshotter.restore(spark, snapDir, restDir))
+        results += "restore_verified_sf" -> restSecs
       }
 
       // the ANN bucket table is an index-build artifact — timed as its own
