@@ -21,7 +21,7 @@ import graft.streaming.StreamingIngest
   *                                    (index-level delete; purged at compact)
   *   graft.Cli reconcile <indexDir>   (two-sided lineage-vs-written check)
   *   graft.Cli search <indexDir> <k> <query terms...> [--and] [--fuzzy]
-  *             [--not "<terms>"] [--sort-by field[:asc|desc]]
+  *             [--not "<terms>"] [--sort-by field[:asc|desc]] [--collapse field]
   *             (clauses may carry ES-style boosts: term^2.5)
   *   graft.Cli suggest <indexDir> <prefix> [--k N]   (dictionary autocomplete)
   *   graft.Cli explain <indexDir> <docId> <query terms...>  (score breakdown)
@@ -71,7 +71,8 @@ object Cli {
   // terms. Registered once, consumed by both sides — the two cannot drift.
   private val ValueFlags = Set("--after", "--min-match", "--k", "--terms",
     "--mode", "--salts", "--seconds", "--merge-at", "--threshold",
-    "--tombstone", "--lists", "--dedup", "--partitions", "--not", "--sort-by")
+    "--tombstone", "--lists", "--dedup", "--partitions", "--not", "--sort-by",
+    "--collapse")
 
   private def opt(args: Seq[String], name: String, dflt: String): String = {
     require(ValueFlags(name), s"unregistered value flag $name — add it to ValueFlags")
@@ -376,6 +377,26 @@ object Cli {
           out.foreach(r => println(f"${r.getLong(0)}%12d  $field=${r.get(1)}"))
           return
       }
+      // --collapse field: ES field collapsing — ONE best-scoring hit per
+      // distinct value of a docmeta field. A different result shape (one
+      // row per group, exhaustive membership, no score cursor), so the
+      // paging/fuzzy/min-match/boost/--not flags are refused
+      opt(rest, "--collapse", "") match {
+        case "" => ()
+        case field =>
+          require(!fuzzy && after.isEmpty && minMatch == 1 && mustNot.isEmpty
+              && !hasBoost,
+            "--collapse composes only with [--and] (collapsed results have " +
+              "no score cursor; boosts/min-match/--not shape scoring or " +
+              "membership the collapsed surface does not thread)")
+          import org.apache.spark.sql.functions.col
+          val out = Searcher.collapseTopSnap(spark, v, terms,
+              col(field), field, col("docId"), "docId", conjunctive = conj)
+            .orderBy(field).collect()
+          out.foreach(r => println(
+            f"${r.getLong(1)}%12d  score_q=${r.getLong(2)}%d  $field=${r.get(0)}"))
+          return
+      }
       val rows =
         if (fuzzy && conj) {
           import org.apache.spark.sql.functions.col
@@ -567,7 +588,7 @@ object Cli {
            |       decontaminate <corpusDir> <refDir> [--threshold t] [--tombstone <indexDir>] |
            |       decontaminate-emb <corpusDir> <refDir> [--threshold t] [--tombstone <ivfDir>] |
            |       search <dir> <k> <terms...> [--and] [--fuzzy] [--min-match n]
-           |              [--after scoreQ:docId] |
+           |              [--after scoreQ:docId] [--collapse field] |
            |       suggest <dir> <prefix> [--k n] | mlt <dir> <docsParquet> <doc_id> |
            |       snapshot <dir> <destDir> | restore <snapDir> <destDir> |
            |       verify-snapshot <snapDir>""".stripMargin)

@@ -72,7 +72,8 @@ object SparkEntry {
                       docWhere: String = "TRUE", minMatch: Int = 1,
                       hitWhere: String = "TRUE",
                       notTerms: Seq[String] = Nil,
-                      boosts: Map[String, Double] = Map.empty): String = {
+                      boosts: Map[String, Double] = Map.empty,
+                      collapseBy: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     // tft has one row per (doc, term), so count(*) = matched distinct terms
     val having =
@@ -97,6 +98,23 @@ object SparkEntry {
          s"(${notTerms.map(t => s"'$t'").mkString(", ")}))"))
     val hitFilter =
       if (hitConds.isEmpty) "" else "WHERE " + hitConds.mkString(" AND ")
+    // field collapsing (ES `collapse`): winner per group on the QUANTIZED
+    // score with a doc_id tiebreak — mirrors Searcher.collapseTop exactly
+    val finalSelect = collapseBy match {
+      case Some(f) =>
+        s"""q AS (SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+           |      FROM scores $hitFilter),
+           |g AS (SELECT d.$f AS $f, q.doc_id AS doc_id, q.score_q AS score_q,
+           |        row_number() OVER (PARTITION BY d.$f
+           |                           ORDER BY q.score_q DESC, q.doc_id) AS rn
+           |      FROM q JOIN documents d USING (doc_id))
+           |SELECT $f, doc_id, score_q FROM g WHERE rn = 1 ORDER BY $f""".stripMargin
+      case None =>
+        s"""SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
+           |FROM scores
+           |$hitFilter
+           |ORDER BY score_q DESC, doc_id""".stripMargin
+    }
     s"""WITH dsrc AS (SELECT * FROM documents WHERE $docWhere),
        |toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
@@ -114,11 +132,8 @@ object SparkEntry {
        |  FROM tft
        |  JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
        |  WHERE tft.term IN ($termList)
-       |  GROUP BY 1 $having)
-       |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q
-       |FROM scores
-       |$hitFilter
-       |ORDER BY score_q DESC, doc_id""".stripMargin
+       |  GROUP BY 1 $having)${if (collapseBy.isDefined) "," else ""}
+       |$finalSelect""".stripMargin
   }
 
   private def q4(e: String): String = s"CAST(floor(($e) * 10000 + 0.5) AS BIGINT)"
@@ -252,6 +267,16 @@ object SparkEntry {
           Seq(col("dl").desc, docIdExpr.asc), 50)
         .select(docIdExpr.as("doc_id"), col("dl").cast("long").as("dl"))
         .orderBy(desc("dl"), col("doc_id"))
+    },
+    // ES field collapsing: ONE best-scoring hit per language — the group
+    // field and the contract doc_id both come from the stored docmeta path
+    // ("lang/doc_id"), winner chosen on (score_q desc, doc_id asc)
+    "ft_collapse" -> { (s, dir) =>
+      val h = Engine.indexFor(s, dir)
+      Searcher.collapseTop(s, h, "spark merge",
+          element_at(split(col("path"), "/"), 1), "lang",
+          element_at(split(col("path"), "/"), 2), "doc_id")
+        .orderBy("lang")
     },
     // ES wildcard query: the pattern rewrites against the term dictionary
     // (prefix-pruned scan + anchored regex), expansion scores disjunctive
@@ -770,6 +795,10 @@ object SparkEntry {
          |SELECT m.doc_id AS doc_id, dlt.dl AS dl
          |FROM m JOIN dlt USING (doc_id)
          |ORDER BY dl DESC, doc_id LIMIT 50""".stripMargin,
+    // field collapsing: best (score_q desc, doc_id) hit per lang
+    "ft_collapse" ->
+      bm25Sql(Seq("merge", "spark"), conjunctive = false,
+        collapseBy = Some("lang")),
     // wildcard: the UNCAPPED SQL expansion (every vocab term LIKE 's%')
     "ft_wildcard_search" -> bm25ExpandedSql(
       """fz AS (SELECT DISTINCT term FROM dft WHERE term LIKE 's%'),

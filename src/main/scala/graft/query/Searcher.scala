@@ -630,6 +630,48 @@ object Searcher {
     agg(hits.join(v.docmetaAll(spark).toDF(), "docId"))
   }
 
+  /** ES field collapsing (the `_search` body's `collapse` parameter): ONE
+    * best-scoring hit per distinct value of a document field — "top hit
+    * per group" in a single request, the dedupe-by-field shape every
+    * search UI uses (one result per repo / per language / per domain).
+    *
+    * `groupExpr`/`idExpr` are evaluated over hits ⋈ docmeta, so any stored
+    * doc field (or a derivation of one, e.g. the path's lang prefix) can
+    * collapse or identify. The per-group winner is chosen on the QUANTIZED
+    * score (Engine.quantized) with an ascending-id tiebreak, so ties in
+    * raw-double space resolve to the same winner at any parallelism and
+    * match the contract's (score_q desc, id asc) order exactly.
+    *
+    * Scale shape: the hit stream is UNRANKED (no global merge sort — the
+    * collapse destroys order anyway, same reasoning as searchAgg); hits ⋈
+    * docmeta is the AQE-adaptive equi-join; the argmax is a lexicographic
+    * `max(struct(score_q, -id, id))` — partial-aggregable, so each map
+    * partition ships ONE candidate row per group and the only shuffle is
+    * |groups| rows wide. No window function, no row_number, no sort.
+    */
+  def collapseTop(spark: SparkSession, h: IndexBuilder.Handle, query: String,
+                  groupExpr: org.apache.spark.sql.Column, groupName: String,
+                  idExpr: org.apache.spark.sql.Column, idName: String,
+                  conjunctive: Boolean = false): DataFrame =
+    collapseTopSnap(spark, h.snapshot, query, groupExpr, groupName,
+      idExpr, idName, conjunctive)
+
+  def collapseTopSnap(spark: SparkSession, v: Snapshot, query: String,
+                      groupExpr: org.apache.spark.sql.Column, groupName: String,
+                      idExpr: org.apache.spark.sql.Column, idName: String,
+                      conjunctive: Boolean = false): DataFrame = {
+    val hits = topKSnap(spark, v, query, Int.MaxValue, conjunctive,
+      ranked = false).toDF()
+    hits.join(v.docmetaAll(spark).toDF(), "docId")
+      .select(groupExpr.as(groupName), idExpr.cast("long").as(idName),
+        graft.Engine.quantized(col("score")).as("score_q"))
+      .groupBy(col(groupName))
+      .agg(max(struct(col("score_q"), (-col(idName)).as("negId"),
+        col(idName))).as("best"))
+      .select(col(groupName), col(s"best.$idName").as(idName),
+        col("best.score_q").as("score_q"))
+  }
+
   /** Keyset pagination over ranked hits — the ES `search_after` analog
     * (es/adapter.go:156-182 pages its readback with exactly this): the next
     * `k` hits STRICTLY AFTER the cursor `(afterScoreQ, afterDocId)` in

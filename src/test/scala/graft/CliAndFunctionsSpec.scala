@@ -102,6 +102,12 @@ class CliAndFunctionsSpec extends AnyFunSuite with SparkSuite {
     Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--not", "window"))
     Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--sort-by", "dl:desc"))
     Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--sort-by", "dl:asc"))
+    // ES field collapsing: one best hit per docmeta field value
+    Cli.run(spark, Seq("search", idx, "5", "spark", "merge", "--collapse", "dl"))
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("search", idx, "5", "spark", "--collapse", "dl",
+        "--min-match", "2"))
+    }
     // refused compositions fail loudly instead of silently mis-scoring
     intercept[IllegalArgumentException] {
       Cli.run(spark, Seq("search", idx, "5", "spark^2", "--fuzzy"))

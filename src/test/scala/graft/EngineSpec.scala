@@ -414,6 +414,32 @@ class EngineSpec extends AnyFunSuite with SparkSuite {
       s"sort-by plan pays a global sort exchange:\n$plan")
   }
 
+  test("field collapsing: (score_q desc, id asc) winner per group; plan has no window/sort") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val q = "read parquet"
+    // ground truth from the exhaustive ranked hits: max quantized score per
+    // first-path-segment group, lowest docId on quantized ties
+    val hits = Searcher.topK(spark, handle, q, Int.MaxValue).collect()
+    val path = handle.docmeta(spark).collect().map(m => m.docId -> m.path).toMap
+    def quant(s: Double): Long = math.floor(s * 10000 + 0.5).toLong
+    val want = hits.map(h => (path(h.docId).split("/")(0), h.docId, quant(h.score)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val w = rows.minBy(r => (-r._3, r._2)); (g, w._2, w._3)
+      }.toSeq.sortBy(_._1)
+    val df = Searcher.collapseTopSnap(spark, handle.snapshot, q,
+      element_at(split(col("path"), "/"), 1), "grp", col("docId"), "id")
+    val got = df.orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.map(_._1).distinct.size > 1, "fixture must span several groups")
+    // a partial-aggregable argmax, NOT a row_number window: no Window
+    // operator, no range-exchange sort anywhere in the composed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"collapse plans a window:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"collapse plan pays a global sort exchange:\n$plan")
+  }
+
   test("federated multi-index search ≡ the single merged index, bit-exact") {
     val q = "read parquet the"
     // disjoint halves by path-hash parity, deliberately different salt
