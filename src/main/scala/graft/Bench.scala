@@ -290,6 +290,16 @@ object Bench {
         resc() // warm
         val (_, rsc) = timed(resc())
         results += "bm25_rescore" -> rsc
+        // field collapsing (r5): best hit per lang over the exhaustive hit
+        // stream — the claim is ~searchAgg cost (no global sort, the argmax
+        // is one partial-aggregated |groups|-row exchange)
+        import org.apache.spark.sql.functions.{element_at, split, col}
+        def coll() = Searcher.collapseTopSnap(spark, v, "merge window",
+          element_at(split(col("path"), "/"), 1), "lang",
+          col("docId"), "docId").collect()
+        coll() // warm
+        val (_, cl) = timed(coll())
+        results += "bm25_collapse" -> cl
       }
 
       // distributed per-salt WAND path, forced (driverPathMaxPostings=0):
