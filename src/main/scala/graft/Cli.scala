@@ -364,6 +364,12 @@ object Cli {
             "--sort-by composes only with [--and] (field-ordered results " +
               "have no score cursor; boosts/min-match/--not shape scoring " +
               "or membership the sorted surface does not thread)")
+          // ADVICE r5 item 3: the --sort-by branch returns first, so a
+          // composed --collapse was silently ignored — refuse loudly like
+          // every other unsupported composition
+          require(opt(rest, "--collapse", "").isEmpty,
+            "--sort-by and --collapse are mutually exclusive (one result " +
+              "ordering per request)")
           import org.apache.spark.sql.functions.col
           val (field, asc) = spec.split(':') match {
             case Array(f) => (f, false)

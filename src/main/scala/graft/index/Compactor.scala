@@ -477,8 +477,9 @@ object Compactor {
         spark.read.parquet(state.tombstones.map(_ + "/ids"): _*)
           .select(col("docId").as("oldDocId")).distinct(),
         Seq("oldDocId"), "left_anti")
-    val assigned = IndexBuilder.withDenseIds(spark, union, parts,
-      Seq("repo", "path", "commit"), "docId")
+    val assigned = IndexBuilder.timedStage("fold-ids")(
+      IndexBuilder.withDenseIds(spark, union, parts,
+        Seq("repo", "path", "commit"), "docId"))
     try {
       val n = assigned.n
       // a delete set covering EVERY doc would fold an n=0 epoch whose
@@ -492,8 +493,9 @@ object Compactor {
       // included. Derived from the id-assigned frame directly so the three
       // table folds below have no ordering dependency and run CONCURRENTLY
       // (same overlap pattern as the build and the ingest writes).
-      val est = IndexBuilder.estimateBuildAvgdl(
-        assigned.df.select($"docId", $"dl"))
+      val est = IndexBuilder.timedStage("fold-avgdl")(
+        IndexBuilder.estimateBuildAvgdl(
+          assigned.df.select($"docId", $"dl")))
       val salts = IndexBuilder.effectiveSalts(cfg, n)
       val remap = assigned.df.select($"oldDocId", $"docId")
       val dmAcc = IndexBuilder.newLineageAcc(spark, "docmeta")
@@ -564,7 +566,8 @@ object Compactor {
           Fs.touch(s"$newRoot/_STAGE_positions")
         }
 
-      IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions))
+      IndexBuilder.timedStage("fold-tables")(
+        IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions)))
 
       // ---- stats (docmeta lineage tallies) + termstats (pruned read-back
       // of the fresh postings) — independent of each other too ------------
@@ -595,7 +598,8 @@ object Compactor {
           .write.mode("overwrite").parquet(s"$newRoot/termstats")
         IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
       }
-      IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats))
+      IndexBuilder.timedStage("fold-stats")(
+        IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats)))
 
       // ---- commit: folded list + ONE atomic pointer flip ------------------
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")

@@ -359,7 +359,7 @@ object IndexBuilder {
   /** Stage timing to stderr when GRAFT_TIMING=1 or -Dgraft.timing=1 (the
     * CLI's `export --verbose` sets the property).
     */
-  private def timedStage[T](name: String)(f: => T): T = {
+  private[graft] def timedStage[T](name: String)(f: => T): T = {
     if (sys.env.get("GRAFT_TIMING").contains("1") ||
         sys.props.get("graft.timing").contains("1")) {
       val t0 = System.nanoTime()

@@ -121,34 +121,45 @@ object Snapshotter {
     val bExpect = spark.sparkContext.broadcast(expect)
     val slices = math.min(rels.size,
       math.max(1, spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(rels, slices).map { rel =>
+    // ONE Configuration + one (src, dst) FileSystem pair per TASK, closed in
+    // a finally (ADVICE r5 item 1: the per-file uncached instances were
+    // never closed — on HDFS/S3 each holds sockets/threads, leaking executor
+    // resources over large snapshots; per-file construction also re-parsed
+    // the full conf per copy).
+    spark.sparkContext.parallelize(rels, slices).mapPartitions { relIt =>
       val conf = new Configuration()
       bConf.value.foreach { case (k, v) => conf.set(k, v) }
-      val src = new Path(s"$srcDir/$rel")
-      val dst = new Path(s"$dstDir/$rel")
-      val sfs = rawFs(src, conf)
-      val dfs = rawFs(dst, conf)
-      dfs.mkdirs(dst.getParent)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val in = sfs.open(src)
-      val out = dfs.create(dst, true)
-      var len = 0L
+      val sfs = rawFs(new Path(s"$srcDir/_probe"), conf)
+      val dfs = rawFs(new Path(s"$dstDir/_probe"), conf)
+      val out0 = Seq.newBuilder[Entry]
       try {
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); len += n }
-          n = in.read(buf)
+        relIt.foreach { rel =>
+          val src = new Path(s"$srcDir/$rel")
+          val dst = new Path(s"$dstDir/$rel")
+          dfs.mkdirs(dst.getParent)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val in = sfs.open(src)
+          val out = dfs.create(dst, true)
+          var len = 0L
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n); len += n }
+              n = in.read(buf)
+            }
+          } finally { in.close(); out.close() }
+          val sha = md.digest().map("%02x".format(_)).mkString
+          bExpect.value.get(rel).foreach { e =>
+            if (e.len != len || e.sha256 != sha)
+              throw new IllegalStateException(
+                s"snapshot file $rel corrupt: manifest says (len=${e.len}, " +
+                  s"sha=${e.sha256}), copied (len=$len, sha=$sha)")
+          }
+          out0 += Entry(rel, len, sha)
         }
-      } finally { in.close(); out.close() }
-      val sha = md.digest().map("%02x".format(_)).mkString
-      bExpect.value.get(rel).foreach { e =>
-        if (e.len != len || e.sha256 != sha)
-          throw new IllegalStateException(
-            s"snapshot file $rel corrupt: manifest says (len=${e.len}, " +
-              s"sha=${e.sha256}), copied (len=$len, sha=$sha)")
-      }
-      Entry(rel, len, sha)
+      } finally { sfs.close(); dfs.close() }
+      out0.result().iterator
     }.collect().toSeq.sortBy(_.rel)
   }
 
@@ -210,9 +221,26 @@ object Snapshotter {
     require(Fs.isAbsentOrEmptyDir(destDir),
       s"restore destination $destDir exists and is not empty")
     val (epoch, entries) = readManifest(snapDir)
-    copyAll(spark, snapDir, destDir, entries.map(_.rel),
+    // Commit protocol (ADVICE r5 item 2: restore wrote directly into
+    // destDir with no marker, so a crashed restore could later open as a
+    // valid-looking index — e.g. root data present, tombstone deltas
+    // missing, deleted docs silently resurrected): copy into a temp sibling
+    // and make destDir exist only via the final rename — snapshot-grade
+    // marker-last semantics with zero extra IO. Stale `.restoring-*`
+    // siblings from crashed attempts at the SAME destination are swept
+    // first (bounded: one per crashed restore of this destDir).
+    val destParent = new Path(destDir).getParent.toString
+    val destName = Fs.name(destDir)
+    Fs.listDirs(destParent)
+      .filter(d => Fs.name(d).startsWith(s".$destName.restoring-"))
+      .foreach(Fs.delete)
+    val tmp = s"$destParent/.$destName.restoring-${java.util.UUID.randomUUID()}"
+    copyAll(spark, snapDir, tmp, entries.map(_.rel),
       entries.map(e => e.rel -> e).toMap)
-    epoch.foreach(e => Fs.atomicWrite(s"$destDir/CURRENT", e))
+    epoch.foreach(e => Fs.atomicWrite(s"$tmp/CURRENT", e))
+    if (Fs.exists(destDir)) Fs.delete(destDir) // verified-empty dir above
+    require(Fs.tryRename(tmp, destDir),
+      s"restore commit failed: could not rename $tmp -> $destDir")
     Catalog.invalidate(destDir)
     entries.size
   }
@@ -236,28 +264,35 @@ object Snapshotter {
     val base = snapDir
     val slices = math.min(math.max(entries.size, 1),
       math.max(1, spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(entries, slices).flatMap { e =>
+    // one conf + FileSystem per task, closed in finally (same leak fix as
+    // copyAll)
+    spark.sparkContext.parallelize(entries, slices).mapPartitions { entryIt =>
       val conf = new Configuration()
       bConf.value.foreach { case (k, v) => conf.set(k, v) }
-      val p = new Path(s"$base/${e.rel}")
-      val fs = rawFs(p, conf)
-      if (!fs.exists(p)) Iterator.single(e.rel)
-      else {
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val in = fs.open(p)
-        var len = 0L
-        try {
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) { md.update(buf, 0, n); len += n }
-            n = in.read(buf)
+      val fs = rawFs(new Path(s"$base/_probe"), conf)
+      val bad = Seq.newBuilder[String]
+      try {
+        entryIt.foreach { e =>
+          val p = new Path(s"$base/${e.rel}")
+          if (!fs.exists(p)) bad += e.rel
+          else {
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val in = fs.open(p)
+            var len = 0L
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) { md.update(buf, 0, n); len += n }
+                n = in.read(buf)
+              }
+            } finally in.close()
+            val sha = md.digest().map("%02x".format(_)).mkString
+            if (len != e.len || sha != e.sha256) bad += e.rel
           }
-        } finally in.close()
-        val sha = md.digest().map("%02x".format(_)).mkString
-        if (len != e.len || sha != e.sha256) Iterator.single(e.rel)
-        else Iterator.empty
-      }
+        }
+      } finally fs.close()
+      bad.result().iterator
     }.collect().toSeq.sorted
   }
 }

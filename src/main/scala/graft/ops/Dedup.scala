@@ -176,12 +176,12 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     val buckets = bandBuckets(spark, docs(spark, sfDir))
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
     // Adaptive coordinator step (same pattern as Searcher's driver path):
     // the candidate DOC set is LSH's output. If it is driver-small, collect
     // it (one job over the sigs→buckets→bucket-join pipeline) and inline it
@@ -198,8 +198,16 @@ object Dedup {
     // scoring is exact). Only candidate docs' shingles ever shuffle — the
     // full corpus shingle table is never materialized, and the n² pair
     // matrix never exists: cost is O(|candidate docs| · shingles/doc).
+    // ONE pass over the band join: explode both endpoints of each colliding
+    // pair and dedup the DOC set directly. The old shape paid a distinct
+    // exchange on the PAIRS and then re-ran the final distinct-aggregate for
+    // each union branch before a second distinct exchange on the ids — the
+    // verify only ever consumes candidate DOCS, so the pair-level distinct
+    // bought nothing (guide §2.4; plan: 2 aggregate exchanges → 1, join
+    // executed once instead of once per union branch). Candidate-doc set —
+    // and therefore the verified output — is identical.
     val candDocsDf = cands
-      .select(col("a").as("doc_id")).union(cands.select(col("b").as("doc_id")))
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
       .distinct()
     val maxDriverCands = 100000
     val probed: Array[Long] =
@@ -259,6 +267,7 @@ object Dedup {
   def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.6,
                     maxDriverPairs: Int = 100000): DataFrame = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     // materialize the pair pipeline ONCE (band join + exact verify are the
     // dominant cost); both the size probe and the edge set read the
     // checkpoint — probing the lazy plan would execute it twice
@@ -365,6 +374,7 @@ object Dedup {
   def decontaminatePairs(spark: SparkSession, corpus: DataFrame, ref: DataFrame,
                          threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     // materialize the signature+band-join pipeline ONCE (it is the
     // dominant cost; collecting each side's id set from the lazy plan
     // would re-run both corpora's MinHash maps per collect) — the same

@@ -38,6 +38,29 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** cosine(a, ·) with a's norm hoisted out of the per-row loop — for the
+    * fixed-query rescore maps (brute/LSH/IVF), where |a|² was recomputed
+    * per corpus row. Bit-identical to [[cosine]]: dot, |a|² and |b|² are
+    * independent strict left-to-right sums, and the final expression keeps
+    * the original `dot / (sqrt(na) * sqrt(nb))` operand order.
+    */
+  private[graft] def cosineFrom(a: Array[Float]): Array[Float] => Double = {
+    var na = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    val sqrtNa = math.sqrt(na)
+    (b: Array[Float]) => {
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) {
+        val x = a(j).toDouble; val y = b(j).toDouble
+        dot += x * y; nb += y * y
+        j += 1
+      }
+      dot / (sqrtNa * math.sqrt(nb))
+    }
+  }
+
   /** Brute-force cosine top-k against the query vector `qId`. */
   def cosineTopK(spark: SparkSession, sfDir: String, qId: Long = 0L, k: Int = 20): DataFrame = {
     import spark.implicits._
@@ -47,7 +70,10 @@ object Similarity {
     val bq = spark.sparkContext.broadcast(q)
     e.filter(col("vec_id") =!= qId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, cosine(bq.value, v)) }
+      .mapPartitions { it =>
+        val score = cosineFrom(bq.value) // query norm once per task
+        it.map { case (id, v) => (id, score(v)) }
+      }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))
@@ -228,6 +254,7 @@ object Similarity {
     // candidate fraction. At larger n, raise `planes` ∝ log n to keep
     // buckets (and the fraction) small.
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     val dir = buildLshBuckets(spark, sfDir, tables, planes)
     val e = emb(spark, sfDir)
     val q: Array[Float] = e.filter(col("vec_id") === qId)
@@ -267,7 +294,10 @@ object Similarity {
       else e.join(cands, Seq("vec_id"), "left_semi")
     candVecs
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, cosine(bq.value, v)) }
+      .mapPartitions { it =>
+        val score = cosineFrom(bq.value) // query norm once per task
+        it.map { case (id, v) => (id, score(v)) }
+      }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))
@@ -401,22 +431,35 @@ object Similarity {
         .collect().map(_._2.map(_.toDouble))
       // Lloyd refinement on a deterministic ~10% sample (the standard
       // train-quantizer-on-a-sample shortcut: assignment quality needs
-      // centroid SHAPE, not every point)
+      // centroid SHAPE, not every point). The sample is consumed once per
+      // iteration — persist it so each Lloyd pass re-reads ~n/10 cached
+      // rows instead of re-scanning (and re-filtering) the full corpus
+      // (guide §5: reuse justifies the cache; released before the big
+      // assignment pass below). Sample CONTENT is a pure function of
+      // vec_ids, so caching cannot perturb the trained centroids.
       val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .filter(r => java.lang.Math.floorMod(graft.index.IndexBuilder.mix3(r._1, 0xca1, 3L), 10L) == 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 1 to iters) {
         val bc = spark.sparkContext.broadcast(centroids)
         val refined = sample
-          .map { case (id, v) => (nearestList(v, bc.value), id, v) }
+          .mapPartitions { it =>
+            val assign = assignerFor(bc.value) // centroid norms once per task
+            it.map { case (id, v) => (assign(v), id, v) }
+          }
           .groupByKey(_._1)
           .mapGroups { (list, it) =>
             (list, sumByVecId(it.map(r => (r._2, r._3))))
           }.collect().toMap
         centroids = Array.tabulate(centroids.length)(l => refined.getOrElse(l, centroids(l)))
       }
+      sample.unpersist(blocking = false)
       val bc = spark.sparkContext.broadcast(centroids)
       e.as[(Long, Array[Float], Int)]
-        .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }
+        .mapPartitions { it =>
+          val assign = assignerFor(bc.value) // centroid norms once per task
+          it.map { case (id, v, label) => (id, v, label, assign(v)) }
+        }
         .toDF("vec_id", "embedding", "label", "list_id")
         // one file per list: partition-pruned probes then open nprobe files,
         // not nprobe × writer-task shards
@@ -529,7 +572,10 @@ object Similarity {
         graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
         newEmb.select(col("vec_id"), col("embedding"), col("label"))
           .as[(Long, Array[Float], Int)]
-          .map { case (id, v, label) => (id, v, label, nearestList(v, bc.value)) }
+          .mapPartitions { it =>
+            val assign = assignerFor(bc.value) // centroid norms once per task
+            it.map { case (id, v, label) => (id, v, label, assign(v)) }
+          }
           .toDF("vec_id", "embedding", "label", "list_id")
           .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
@@ -853,22 +899,50 @@ object Similarity {
     acc.map(_ / n)
   }
 
-  private[graft] def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestCos = Double.NegativeInfinity
+  private[graft] def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int =
+    assignerFor(cs)(v)
+
+  /** Assignment kernel with the per-centroid norms hoisted OUT of the
+    * per-(vector, centroid) inner loop (guide §1.2 "per-task work": this is
+    * the build's dominant kernel — n·lists·dim flops). Bit-identical to the
+    * naive interleaved form: dot, |v|² and |c|² are three INDEPENDENT strict
+    * left-to-right sums, so computing |c|² once per centroid and |v|² once
+    * per vector yields the exact same doubles, and the final expression
+    * keeps the original `dot / (sqrt(nv) * sqrt(nc))` shape — centroid
+    * choice (and thus the partitioned layout and every probe result) is
+    * unchanged. Build ONCE per task (mapPartitions) so the sqrt(nc) table
+    * is amortized across the partition.
+    */
+  private[graft] def assignerFor(cs: Array[Array[Double]]): Array[Float] => Int = {
+    val sqrtNc = new Array[Double](cs.length)
     var l = 0
     while (l < cs.length) {
       val c = cs(l)
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var nc = 0.0
       var i = 0
-      while (i < v.length) {
-        dot += v(i) * c(i); nv += v(i).toDouble * v(i); nc += c(i) * c(i); i += 1
-      }
-      val cos = dot / (math.sqrt(nv) * math.sqrt(nc))
-      if (cos > bestCos) { bestCos = cos; best = l }
+      while (i < c.length) { nc += c(i) * c(i); i += 1 }
+      sqrtNc(l) = math.sqrt(nc)
       l += 1
     }
-    best
+    (v: Array[Float]) => {
+      var nv = 0.0
+      var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+      val sqrtNv = math.sqrt(nv)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var k = 0
+      while (k < cs.length) {
+        val c = cs(k)
+        var dot = 0.0
+        i = 0
+        while (i < v.length) { dot += v(i) * c(i); i += 1 }
+        val cos = dot / (sqrtNv * sqrtNc(k))
+        if (cos > bestCos) { bestCos = cos; best = k }
+        k += 1
+      }
+      best
+    }
   }
 
   // per-session caches (graft.SessionCache: stopped sessions are swept —
@@ -940,7 +1014,10 @@ object Similarity {
         scanned.filter(t => java.util.Arrays.binarySearch(b.value, t._1) < 0)
     }
     live
-      .map { case (id, v) => (id, cosine(bq.value, v)) }
+      .mapPartitions { it =>
+        val score = cosineFrom(bq.value) // query norm once per task
+        it.map { case (id, v) => (id, score(v)) }
+      }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))

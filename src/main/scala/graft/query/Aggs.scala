@@ -23,10 +23,15 @@ object Aggs {
   // per CALL (ADVICE r2).
   private val planCache = new graft.SessionCache[DataFrame]
 
-  /** F2: date_histogram(day) + min/max sub-aggs over lineitem. */
+  /** F2: date_histogram(day) + min/max sub-aggs over lineitem. The day
+    * bucket is `date_format(ts, "yyyy-MM-dd")` directly — formatting at day
+    * granularity already truncates, so the old inner `date_trunc("day", ·)`
+    * was a second per-row datetime op producing the identical string (same
+    * session timezone both ways).
+    */
   def dateHistogram(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
-      .groupBy(date_format(date_trunc("day", col("l_shipdate")), "yyyy-MM-dd").as("day"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"),
         min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
       .orderBy(col("day"))
@@ -59,11 +64,17 @@ object Aggs {
     */
   def significantTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val toks = docs.select(col("doc_id"), col("lang") === "en",
-        explode(split(lower(col("text")), "[^a-z0-9]+")))
-      .toDF("doc_id", "is_fg", "term")
-      .filter(col("term") =!= "")
-      .select(col("doc_id"), col("is_fg"), col("term")).distinct()
+    // per-doc dedup BEFORE the explode (array_distinct over the token
+    // array): (doc_id, term) pairs are already distinct when they leave the
+    // projection — is_fg is a function of doc_id, so this emits exactly the
+    // row set the old global `.distinct()` produced, without its full
+    // (doc_id, is_fg, term) exchange (guide §2.4: remove shuffles outright;
+    // plan: 3 Exchanges → 2). Filtering empties inside the array keeps the
+    // "doc with zero tokens contributes nothing" behavior (explode of an
+    // empty array emits no row).
+    val toks = docs.select(col("doc_id"), (col("lang") === "en").as("is_fg"),
+        explode(array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => w =!= ""))).as("term"))
     val perTerm = toks.groupBy(col("term")).agg(
       count(lit(1)).cast("double").as("bg"),
       count(when(col("is_fg"), 1)).cast("double").as("fg"))
@@ -430,7 +441,8 @@ object Aggs {
   def joinRevenue(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem").join(t(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(date_format(date_trunc("day", col("o_orderdate")), "yyyy-MM-dd").as("day"))
+      // day-pattern date_format already truncates — see dateHistogram
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(quantized(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_q"))
       .orderBy(col("day"))
 

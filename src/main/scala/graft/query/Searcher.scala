@@ -337,6 +337,7 @@ object Searcher {
                     statsOverride: Option[graft.index.IndexStats] = None,
                     dfsOverride: Option[Map[String, Long]] = None): Dataset[Hit] = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     val terms = terms0.distinct.sorted
     val (st0, boundFactor0) = liveStats(spark, v)
     // a FEDERATED caller (topKFederated) scores this index's postings
@@ -483,6 +484,7 @@ object Searcher {
                        pred: org.apache.spark.sql.Column,
                        minMatch: Int = 1): Dataset[Hit] = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     val allow = v.docmetaAll(spark).toDF()
       .filter(pred).select(col("docId")).limit(MaxAllowDocs + 1)
       .as[Long].collect()
@@ -562,6 +564,7 @@ object Searcher {
   def mustNotDenySnap(spark: SparkSession, v: Snapshot,
                       mustNot: String): Array[Long] = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     val notTerms = Analyzer.tokens(mustNot, v.mode).toSeq.distinct
     require(notTerms.nonEmpty, "must_not clause analyzed to zero terms")
     val deny = docsWithAnySnap(spark, v, notTerms)
@@ -751,6 +754,7 @@ object Searcher {
                         conjunctive: Boolean = false, minMatch: Int = 1,
                         driverPathMaxPostings: Long = DriverPathMaxPostings): DataFrame = {
     import spark.implicits._
+    graft.Tuning.ensureProbeConf(spark) // single-job guarded collects
     require(minMatch >= 1, s"minMatch must be ≥ 1, got $minMatch")
     val terms = Analyzer.tokens(query, v.mode).toSeq.distinct.sorted
     val minM = if (conjunctive) terms.length else minMatch

@@ -129,15 +129,22 @@ object Wand {
     java.util.Arrays.sort(s, Ordering.by((x: TermScorer) => x.curDoc))
 
   /** Score one doc fully: every scorer positioned at `doc` contributes, in
-    * ascending-term order (scorers array is term-sorted at call sites via
-    * stable construction; here we explicitly sort contributions by term).
+    * ascending-term order. Takes a TERM-SORTED array and scans it — the
+    * matching scorers are visited in exactly the ascending-term order the
+    * old filter+sortBy produced (identical summation, identical doubles),
+    * without allocating and sorting two arrays per scored document (guide
+    * §1.2 "per-task work": exhaustive/unranked passes score every matching
+    * doc, so the per-doc allocations were the collector's hottest garbage).
+    * Exhausted scorers sit at curDoc = Long.MaxValue and never match.
     */
-  private def scoreDoc(doc: Long, scorers: Array[TermScorer]): Double = {
-    // ascending term order for deterministic summation
-    val at = scorers.filter(_.curDoc == doc).sortBy(_.term)
+  private def scoreDoc(doc: Long, termSorted: Array[TermScorer]): Double = {
     var s = 0.0
     var i = 0
-    while (i < at.length) { s += at(i).score; i += 1 }
+    while (i < termSorted.length) {
+      val sc = termSorted(i)
+      if (sc.curDoc == doc) s += sc.score
+      i += 1
+    }
     s
   }
 
@@ -157,6 +164,7 @@ object Wand {
     */
   def topKOr(scorers0: Array[TermScorer], k: Int,
              keep: (Long, Double) => Boolean = (_, _) => true): Array[(Long, Double)] = {
+    val termSorted = scorers0.sortBy(_.term) // scoreDoc's summation order
     var live = scorers0.filter(!_.exhausted)
     val top = new TopK(k)
     while (live.nonEmpty) {
@@ -185,7 +193,7 @@ object Wand {
           bub += live(x).currentBlockMax; x += 1
         }
         if (bub >= th) {
-          val s = scoreDoc(pivotDoc, live)
+          val s = scoreDoc(pivotDoc, termSorted)
           if (keep(pivotDoc, s)) top.insert(s, pivotDoc)
           var y = 0
           while (y < live.length) {
