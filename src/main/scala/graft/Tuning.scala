@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Session-level execution tuning applied lazily from the engine's own
   * query paths (the bench/driver sessions are built by frozen harness code,
@@ -41,4 +42,23 @@ object Tuning {
       if (cur == "1") spark.conf.set(k, "512")
       java.lang.Boolean.TRUE
     })
+
+  /** Membership filter on a driver-resident id set. Small sets stay an
+    * `isin` (a literal list Catalyst can fold and push as a min/max range);
+    * large sets become a BROADCAST LEFT-SEMI join against a local relation
+    * — an `isin` with tens of thousands of literals builds (and optimizes)
+    * an expression tree of that size per query, which costs more
+    * DRIVER-side planning time than the whole scan (parquet pushdown
+    * ignores IN-lists past ~10 literals anyway, so nothing is lost at the
+    * scan). Row set is identical either way (ids are distinct by
+    * construction at every call site).
+    */
+  def idFilter(spark: SparkSession, df: DataFrame, colName: String,
+               ids: Array[Long]): DataFrame =
+    if (ids.length <= 1000) df.filter(col(colName).isin(ids.toSeq: _*))
+    else {
+      import spark.implicits._
+      df.join(broadcast(spark.createDataset(ids.toSeq).toDF(colName)),
+        Seq(colName), "left_semi")
+    }
 }

@@ -493,7 +493,11 @@ object Compactor {
       // included. Derived from the id-assigned frame directly so the three
       // table folds below have no ordering dependency and run CONCURRENTLY
       // (same overlap pattern as the build and the ingest writes).
-      val est = IndexBuilder.timedStage("fold-avgdl")(
+      // lazy: forced first from the postings-fold THREAD, so the sample
+      // job overlaps the docmeta fold instead of serializing before the
+      // concurrent group (same overlap the build's lazy buildAvgdl does);
+      // writeStats reads the already-computed value afterwards
+      lazy val est = IndexBuilder.timedStage("fold-avgdl")(
         IndexBuilder.estimateBuildAvgdl(
           assigned.df.select($"docId", $"dl")))
       val salts = IndexBuilder.effectiveSalts(cfg, n)
@@ -521,6 +525,11 @@ object Compactor {
       // docId at scale. Shuffle volume = distinct (term, doc) pairs — the
       // same as the build's postings stage, minus tokenization.
       val foldPostings = () => {
+        // force the lazy estimate HERE, on the driver thread (overlapping
+        // the docmeta fold) — referencing `est` directly inside the
+        // mapPartitions closure below would capture the LazyRef and
+        // evaluate the sample JOB inside an executor task (SPARK-28702)
+        val estV = est
         val decoded = spark.read
           .parquet((s"$oldRoot/postings" +: segs.map(_ + "/blocks")): _*)
           .as[PostingBlock]
@@ -538,7 +547,7 @@ object Compactor {
           .repartition(parts, $"term", $"salt")
           .sortWithinPartitions($"term", $"salt", $"docId")
           .as[TermDoc]
-          .mapPartitions(IndexBuilder.buildBlocks(_, est))
+          .mapPartitions(IndexBuilder.buildBlocks(_, estV))
           .mapPartitions(IndexBuilder.tally(poAcc, "postings")(
             b => b.firstDocId, b => b.lastDocId, _ => 1L,
             b => b.docDeltas.length.toLong + b.tfs.length + b.dls.length,
@@ -576,7 +585,8 @@ object Compactor {
         .map(_._2.head.termCount).sum
       val avgdl = tot.toDouble / n.toDouble
       val writeStats = () => {
-        Seq(IndexStats(n, avgdl, tot, est)).toDS()
+        val estV = est // already computed by the postings thread; driver-side read
+        Seq(IndexStats(n, avgdl, tot, estV)).toDS()
           .write.mode("overwrite").parquet(s"$newRoot/stats")
         IndexBuilder.writeLineageRows(spark, newRoot, "stats",
           java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))

@@ -217,7 +217,7 @@ object Dedup {
         .select(col("id").as("a"), col("id").as("b"), col("id").as("jacc_q"))
     val candDocs: DataFrame => DataFrame =
       if (probed.length <= maxDriverCands)
-        _.filter(col("doc_id").isin(probed: _*))
+        df => graft.Tuning.idFilter(spark, df, "doc_id", probed)
       else
         _.join(candDocsDf, Seq("doc_id"), "left_semi")
     // candidate shingles are consumed twice below (sizes + self-join) —
@@ -410,8 +410,8 @@ object Dedup {
         candsCp.unpersist(blocking = false)
         val cIds = probed.map(_._1).distinct.sorted
         val rIds = probed.map(_._2).distinct.sorted
-        (localShingles(spark, corpus).filter(col("doc_id").isin(cIds: _*)),
-          localShingles(spark, ref).filter(col("doc_id").isin(rIds: _*))
+        (graft.Tuning.idFilter(spark, localShingles(spark, corpus), "doc_id", cIds),
+          graft.Tuning.idFilter(spark, localShingles(spark, ref), "doc_id", rIds)
             .withColumnRenamed("doc_id", "ref_id"))
       } else {
         // the returned lazy plan references the checkpoint — register it so

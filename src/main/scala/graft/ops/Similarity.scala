@@ -61,6 +61,16 @@ object Similarity {
     }
   }
 
+  /** Once-per-task lazy holder: the closure object deserializes once per
+    * task, so `value` is computed once per task — the scorer-hoisting
+    * vehicle that KEEPS `.map` (MapElements fuses into whole-stage codegen;
+    * a `mapPartitions` rewrite measured 1.6× SLOWER on the brute path
+    * because it breaks that fusion).
+    */
+  private final class TaskLazy[T](mk: () => T) extends Serializable {
+    @transient lazy val value: T = mk()
+  }
+
   /** Brute-force cosine top-k against the query vector `qId`. */
   def cosineTopK(spark: SparkSession, sfDir: String, qId: Long = 0L, k: Int = 20): DataFrame = {
     import spark.implicits._
@@ -68,12 +78,10 @@ object Similarity {
     val q: Array[Float] = e.filter(col("vec_id") === qId)
       .select(col("embedding")).as[Array[Float]].head()
     val bq = spark.sparkContext.broadcast(q)
+    val score = new TaskLazy(() => cosineFrom(bq.value)) // query norm once per task
     e.filter(col("vec_id") =!= qId)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val score = cosineFrom(bq.value) // query norm once per task
-        it.map { case (id, v) => (id, score(v)) }
-      }
+      .map { case (id, v) => (id, score.value(v)) }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))
@@ -290,14 +298,12 @@ object Similarity {
     val probed: Array[Long] = cands.limit(maxDriverCands + 1).as[Long].collect()
     val candVecs =
       if (probed.length <= maxDriverCands)
-        e.filter(col("vec_id").isin(probed: _*))
+        graft.Tuning.idFilter(spark, e, "vec_id", probed)
       else e.join(cands, Seq("vec_id"), "left_semi")
+    val score = new TaskLazy(() => cosineFrom(bq.value)) // query norm once per task
     candVecs
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val score = cosineFrom(bq.value) // query norm once per task
-        it.map { case (id, v) => (id, score(v)) }
-      }
+      .map { case (id, v) => (id, score.value(v)) }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))
@@ -442,11 +448,9 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 1 to iters) {
         val bc = spark.sparkContext.broadcast(centroids)
+        val assign = new TaskLazy(() => assignerFor(bc.value)) // centroid norms once per task
         val refined = sample
-          .mapPartitions { it =>
-            val assign = assignerFor(bc.value) // centroid norms once per task
-            it.map { case (id, v) => (assign(v), id, v) }
-          }
+          .map { case (id, v) => (assign.value(v), id, v) }
           .groupByKey(_._1)
           .mapGroups { (list, it) =>
             (list, sumByVecId(it.map(r => (r._2, r._3))))
@@ -455,11 +459,9 @@ object Similarity {
       }
       sample.unpersist(blocking = false)
       val bc = spark.sparkContext.broadcast(centroids)
+      val assign = new TaskLazy(() => assignerFor(bc.value)) // centroid norms once per task
       e.as[(Long, Array[Float], Int)]
-        .mapPartitions { it =>
-          val assign = assignerFor(bc.value) // centroid norms once per task
-          it.map { case (id, v, label) => (id, v, label, assign(v)) }
-        }
+        .map { case (id, v, label) => (id, v, label, assign.value(v)) }
         .toDF("vec_id", "embedding", "label", "list_id")
         // one file per list: partition-pruned probes then open nprobe files,
         // not nprobe × writer-task shards
@@ -570,12 +572,10 @@ object Similarity {
           f"$root/append-$k%06d"
         }
         graft.index.Fs.delete(out) // stale crashed attempt under a re-used claim
+        val assign = new TaskLazy(() => assignerFor(bc.value)) // centroid norms once per task
         newEmb.select(col("vec_id"), col("embedding"), col("label"))
           .as[(Long, Array[Float], Int)]
-          .mapPartitions { it =>
-            val assign = assignerFor(bc.value) // centroid norms once per task
-            it.map { case (id, v, label) => (id, v, label, assign(v)) }
-          }
+          .map { case (id, v, label) => (id, v, label, assign.value(v)) }
           .toDF("vec_id", "embedding", "label", "list_id")
           .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(s"$out/emb")
@@ -1013,11 +1013,9 @@ object Similarity {
       case Some(b) =>
         scanned.filter(t => java.util.Arrays.binarySearch(b.value, t._1) < 0)
     }
+    val score = new TaskLazy(() => cosineFrom(bq.value)) // query norm once per task
     live
-      .mapPartitions { it =>
-        val score = cosineFrom(bq.value) // query norm once per task
-        it.map { case (id, v) => (id, score(v)) }
-      }
+      .map { case (id, v) => (id, score.value(v)) }
       .toDF("vec_id", "cos")
       .select(col("vec_id"), quantized(col("cos")).as("cos_q"))
       .orderBy(desc("cos_q"), col("vec_id"))
