@@ -593,9 +593,15 @@ object Compactor {
       }
       val writeTermstats = () => {
         val tsAcc = IndexBuilder.newLineageAcc(spark, "termstats")
-        spark.read.parquet(s"$newRoot/postings")
+        // persisted before the range sort so the boundary sampler reads the
+        // cached vocab instead of re-running the postings scan + groupBy
+        // (same reasoning and identical-output argument as the build's
+        // termstats stage)
+        val vocab = spark.read.parquet(s"$newRoot/postings")
           .groupBy($"term")
           .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab
           // same term-sorted dictionary layout as the batch build
           // (IndexBuilder termstats stage): prefix/fuzzy scans stay pruned
           // after a fold
@@ -606,6 +612,7 @@ object Compactor {
             _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
             t => IndexBuilder.mix3(t.term.hashCode.toLong, t.df, 0L)))
           .write.mode("overwrite").parquet(s"$newRoot/termstats")
+        vocab.unpersist(blocking = false)
         IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
       }
       IndexBuilder.timedStage("fold-stats")(

@@ -551,8 +551,17 @@ object IndexBuilder {
         // reads back only 3 pruned columns of the just-written postings
         val acc = newLineageAcc(spark, "termstats")
         val po = spark.read.parquet(s"$dir/postings")
-        po.groupBy($"term")
+        // vocab-sized aggregate PERSISTED before the range sort: the range
+        // exchange's boundary sampler executes its child subtree, so an
+        // uncached plan pays the postings scan + groupBy TWICE (once to
+        // sample term boundaries, once for real). Caching the (small)
+        // aggregate makes the sampler read it back instead; rows, order
+        // inside files and lineage are unchanged (the sampler sees the
+        // identical data either way).
+        val vocab = po.groupBy($"term")
           .agg(sum($"n").cast("long").as("df"), max($"maxImpact").as("maxImpact"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab
           // range-sort the dictionary on term: prefix-suggest and fuzzy-dict
           // scans (Lexicon) then prune on parquet min/max term stats instead
           // of reading the whole vocabulary; the exchange is vocab-sized —
@@ -564,6 +573,7 @@ object IndexBuilder {
             _ => 0L, _ => 0L, _ => 1L, t => 16L + t.term.length,
             t => mix3(t.term.hashCode.toLong, t.df, 0L)))
           .write.mode("overwrite").parquet(s"$dir/termstats")
+        vocab.unpersist(blocking = false)
         writeLineageRows(spark, dir, "termstats", acc.value)
       })
     val tailJobs = Seq(statsJob, termstatsJob).flatten

@@ -216,7 +216,14 @@ object Similarity {
       val e = emb(spark, sfDir)
       val dim = e.select(col("embedding")).as[Array[Float]].head().length
       val bPlanes = spark.sparkContext.broadcast(planesFor(tables, planes, dim))
-      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      // persisted before the range sort: the boundary sampler executes the
+      // child subtree, so the uncached plan hashed every vector against
+      // every table's hyperplanes TWICE (once for sampling, once for real);
+      // rows and the range-sorted layout are unchanged. A hash-repartition
+      // layout was ALSO measured (build 1.91→1.27 s med) but rejected: the
+      // probe-side bucket scan regressed 0.37→0.52 s med (file-level
+      // min/max pruning lost) and range is the skew-adaptive layout.
+      val fanout = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
           val ps = bPlanes.value
           (0 until ps.length).iterator.map { t =>
@@ -224,9 +231,12 @@ object Similarity {
           }
         }
         .toDF("bucket", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fanout
         .repartitionByRange(col("bucket"))
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(s"$dir/buckets")
+      fanout.unpersist(blocking = false)
       graft.index.Fs.touch(s"$dir/_DONE")
     }
     dir
@@ -430,11 +440,11 @@ object Similarity {
       val e = src.select(col("vec_id"), col("embedding"), col("label"))
       // deterministic pseudo-random init: `lists` vectors minimizing a hash
       // of vec_id (TakeOrdered — one narrow pass)
-      var centroids: Array[Array[Double]] = e
+      var centroids: Array[Array[Double]] = graft.index.IndexBuilder.timedStage("ivf-init")(e
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .map { case (id, v) => (graft.index.IndexBuilder.mix3(id, 0x1f17, 7L), v) }
         .orderBy(col("_1")).limit(lists)
-        .collect().map(_._2.map(_.toDouble))
+        .collect().map(_._2.map(_.toDouble)))
       // Lloyd refinement on a deterministic ~10% sample (the standard
       // train-quantizer-on-a-sample shortcut: assignment quality needs
       // centroid SHAPE, not every point). The sample is consumed once per
@@ -446,7 +456,7 @@ object Similarity {
       val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .filter(r => java.lang.Math.floorMod(graft.index.IndexBuilder.mix3(r._1, 0xca1, 3L), 10L) == 0L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      for (_ <- 1 to iters) {
+      for (_ <- 1 to iters) graft.index.IndexBuilder.timedStage("ivf-lloyd") {
         val bc = spark.sparkContext.broadcast(centroids)
         val assign = new TaskLazy(() => assignerFor(bc.value)) // centroid norms once per task
         val refined = sample
@@ -460,13 +470,13 @@ object Similarity {
       sample.unpersist(blocking = false)
       val bc = spark.sparkContext.broadcast(centroids)
       val assign = new TaskLazy(() => assignerFor(bc.value)) // centroid norms once per task
-      e.as[(Long, Array[Float], Int)]
+      graft.index.IndexBuilder.timedStage("ivf-assign-write")(e.as[(Long, Array[Float], Int)]
         .map { case (id, v, label) => (id, v, label, assign.value(v)) }
         .toDF("vec_id", "embedding", "label", "list_id")
         // one file per list: partition-pruned probes then open nprobe files,
         // not nprobe × writer-task shards
         .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/emb")
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/emb"))
       spark.createDataset(centroids.zipWithIndex.map { case (c, l) => (l, c) }.toSeq)
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

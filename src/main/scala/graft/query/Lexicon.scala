@@ -266,13 +266,19 @@ object Lexicon {
       sweepStaleSiblings(dir)
       Fs.delete(dir)
       val d = maxDist
-      termDictionary(spark, v)
+      // persisted before the range sort: the boundary sampler executes the
+      // child subtree, so the uncached plan ran the dictionary scan + the
+      // ×(1+L) deletion fan-out TWICE; rows and layout are unchanged
+      val fanout = termDictionary(spark, v)
         .select(col("term"), col("df")).as[(String, Long)]
         .flatMap { case (t, df) => deletions(t, d).iterator.map(k => (k, t, df)) }
         .toDF("delkey", "term", "df")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fanout
         .repartitionByRange(col("delkey"))
         .sortWithinPartitions(col("delkey"))
         .write.mode("overwrite").parquet(s"$dir/dict")
+      fanout.unpersist(blocking = false)
       Fs.writeString(s"$dir/fingerprint", v.fingerprint)
       Fs.touch(s"$dir/_DONE")
     }
