@@ -505,7 +505,7 @@ object Compactor {
       val dmAcc = IndexBuilder.newLineageAcc(spark, "docmeta")
       val poAcc = IndexBuilder.newLineageAcc(spark, "postings")
 
-      val foldDocmeta = () => {
+      val foldDocmeta = () => IndexBuilder.timedStage("fold-docmeta") {
         assigned.df
           .select($"docId", $"repo", $"path", $"commit", $"lang", $"dl", $"sha256")
           .as[DocMeta]
@@ -524,7 +524,7 @@ object Compactor {
       // broadcasts it while it fits and falls back to a shuffle join on
       // docId at scale. Shuffle volume = distinct (term, doc) pairs — the
       // same as the build's postings stage, minus tokenization.
-      val foldPostings = () => {
+      val foldPostings = () => IndexBuilder.timedStage("fold-postings") {
         // force the lazy estimate HERE, on the driver thread (overlapping
         // the docmeta fold) — referencing `est` directly inside the
         // mapPartitions closure below would capture the LazyRef and
@@ -562,7 +562,7 @@ object Compactor {
       // segments always carry positions; the fold preserves the positional
       // tier iff the batch index has it (positionsAll requires the batch
       // stage anyway, so phrase-search capability is unchanged either way).
-      val foldPositions = () =>
+      val foldPositions = () => IndexBuilder.timedStage("fold-positions")(
         if (Fs.exists(s"$oldRoot/positions")) {
           spark.read
             .parquet((s"$oldRoot/positions" +: segs.map(_ + "/positions")): _*)
@@ -573,25 +573,32 @@ object Compactor {
             .sortWithinPartitions($"term", $"docId")
             .write.mode("overwrite").parquet(s"$newRoot/positions")
           Fs.touch(s"$newRoot/_STAGE_positions")
-        }
-
-      IndexBuilder.timedStage("fold-tables")(
-        IndexBuilder.runConcurrently(Seq(foldDocmeta, foldPostings, foldPositions)))
+        })
 
       // ---- stats (docmeta lineage tallies) + termstats (pruned read-back
-      // of the fresh postings) — independent of each other too ------------
+      // of the fresh postings): each tail depends on exactly ONE of the
+      // table folds (stats ← docmeta's accumulator, termstats ← the fresh
+      // postings files), so each is CHAINED onto its producer's thread
+      // inside one concurrent group instead of running in a second group
+      // behind a barrier — the old shape serialized the whole ~0.7 s tail
+      // after the longest fold even though the docmeta thread sat idle for
+      // most of it (critical path max(docmeta+stats, postings+termstats,
+      // positions) instead of max(folds)+max(tails)). Same jobs, same
+      // writes, same content — only the schedule changes.
       import scala.jdk.CollectionConverters._
-      val tot = dmAcc.value.asScala.groupBy(_.partitionId)
-        .map(_._2.head.termCount).sum
-      val avgdl = tot.toDouble / n.toDouble
-      val writeStats = () => {
-        val estV = est // already computed by the postings thread; driver-side read
+      val writeStats = () => IndexBuilder.timedStage("fold-writestats") {
+        val tot = dmAcc.value.asScala.groupBy(_.partitionId)
+          .map(_._2.head.termCount).sum
+        val avgdl = tot.toDouble / n.toDouble
+        // lazy `est` is forced by the postings thread first; a concurrent
+        // force here just blocks on the same lazy-val monitor until ready
+        val estV = est
         Seq(IndexStats(n, avgdl, tot, estV)).toDS()
           .write.mode("overwrite").parquet(s"$newRoot/stats")
         IndexBuilder.writeLineageRows(spark, newRoot, "stats",
           java.util.List.of(LineageRow("stats", 0, 0L, n - 1, 1L, 1L, 24L, n ^ tot)))
       }
-      val writeTermstats = () => {
+      val writeTermstats = () => IndexBuilder.timedStage("fold-termstats") {
         val tsAcc = IndexBuilder.newLineageAcc(spark, "termstats")
         // persisted before the range sort so the boundary sampler reads the
         // cached vocab instead of re-running the postings scan + groupBy
@@ -615,8 +622,11 @@ object Compactor {
         vocab.unpersist(blocking = false)
         IndexBuilder.writeLineageRows(spark, newRoot, "termstats", tsAcc.value)
       }
-      IndexBuilder.timedStage("fold-stats")(
-        IndexBuilder.runConcurrently(Seq(writeStats, writeTermstats)))
+      IndexBuilder.timedStage("fold-tables")(
+        IndexBuilder.runConcurrently(Seq(
+          () => { foldDocmeta(); writeStats() },
+          () => { foldPostings(); writeTermstats() },
+          foldPositions)))
 
       // ---- commit: folded list + ONE atomic pointer flip ------------------
       val priorFolded = Fs.readString(s"$oldRoot/folded_segments")
