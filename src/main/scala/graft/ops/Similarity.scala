@@ -447,11 +447,17 @@ object Similarity {
       // persisted Lloyd SAMPLE below stays: 2 consumers, 1/10 size).
       val e = src.select(col("vec_id"), col("embedding"), col("label"))
       // deterministic pseudo-random init: `lists` vectors minimizing a hash
-      // of vec_id (TakeOrdered — one narrow pass)
+      // of vec_id (TakeOrdered — one narrow pass). The hash key is a UDF on
+      // the id COLUMN so only the surviving top-`lists` rows are ever
+      // deserialized to JVM objects — the old typed map built a (Long,
+      // Array[Float]) tuple for every corpus row just to hash the id (A/B:
+      // 0.214 → 0.178 s med on the 1.5M fixture, init rows asserted
+      // identical, keys included).
+      val initKey = udf((id: Long) => graft.index.IndexBuilder.mix3(id, 0x1f17, 7L))
       var centroids: Array[Array[Double]] = graft.index.IndexBuilder.timedStage("ivf-init")(e
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .map { case (id, v) => (graft.index.IndexBuilder.mix3(id, 0x1f17, 7L), v) }
-        .orderBy(col("_1")).limit(lists)
+        .select(initKey(col("vec_id")).as("k"), col("embedding"))
+        .orderBy(col("k")).limit(lists)
+        .as[(Long, Array[Float])]
         .collect().map(_._2.map(_.toDouble)))
       // Lloyd refinement on a deterministic ~10% sample (the standard
       // train-quantizer-on-a-sample shortcut: assignment quality needs
@@ -460,9 +466,14 @@ object Similarity {
       // rows instead of re-scanning (and re-filtering) the full corpus
       // (guide §5: reuse justifies the cache; released before the big
       // assignment pass below). Sample CONTENT is a pure function of
-      // vec_ids, so caching cannot perturb the trained centroids.
-      val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .filter(r => java.lang.Math.floorMod(graft.index.IndexBuilder.mix3(r._1, 0xca1, 3L), 10L) == 0L)
+      // vec_ids, so caching cannot perturb the trained centroids. The
+      // membership test runs on the id COLUMN (same UDF-before-deserialize
+      // argument as the init key: the old typed filter deserialized every
+      // embedding to a tuple to test the id; same row set either way).
+      val sampleOk = udf((id: Long) =>
+        java.lang.Math.floorMod(graft.index.IndexBuilder.mix3(id, 0xca1, 3L), 10L) == 0L)
+      val sample = e.filter(sampleOk(col("vec_id")))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 1 to iters) graft.index.IndexBuilder.timedStage("ivf-lloyd") {
         val bc = spark.sparkContext.broadcast(centroids)
